@@ -1,0 +1,140 @@
+"""Spherical projection of LiDAR point clouds into vertex maps (JAX).
+
+Projection model (identical to the reference, slam/common/projection.py:11-73):
+
+    r     = ||p||
+    theta = -atan2(y, x)                       # azimuth
+    phi   = asin(z / r)                        # elevation
+    col   = 0.5 * (theta / pi + 1) * W
+    row   = (1 - (phi + |fov_down|) / fov) * H
+
+The rasterization resolves pixel collisions with a **closest-point-wins
+z-buffer**.  The reference sorts points by decreasing range and lets the last
+scatter win (projection.py:403-415); on TPU we instead use two scatter-min
+passes (range, then point index among range-winners), which is deterministic
+and has no data-dependent shapes.
+
+Vertex maps are stored **channels-last** ``(H, W, C)`` on device (the last
+spatial dim W maps onto TPU lanes); the host boundary converts to the
+reference's public ``(C, H, W)`` layout where needed.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class SphericalProjection(NamedTuple):
+    """Static projection parameters (hashable -> usable as jit static arg)."""
+    height: int
+    width: int
+    up_fov: float  # degrees
+    down_fov: float  # degrees
+
+    def project(self, points: jnp.ndarray):
+        """Projects (..., N, 3) points to float pixel coords.
+
+        Returns (rows, cols, r): each (..., N).  Points with r == 0 get
+        row = col = -1 (invalid), matching the reference's masking.
+        """
+        fov_up = self.up_fov / 180.0 * math.pi
+        fov_down = self.down_fov / 180.0 * math.pi
+        fov = abs(fov_down) + abs(fov_up)
+
+        r = jnp.linalg.norm(points, axis=-1)
+        invalid = r == 0.0
+        r_safe = jnp.where(invalid, 0.001, r)
+
+        x, y, z = points[..., 0], points[..., 1], points[..., 2]
+        theta = -jnp.arctan2(y, x)
+        phi = jnp.arcsin(z / r_safe)
+
+        proj_col = 0.5 * (theta / math.pi + 1.0) * self.width
+        proj_row = (1.0 - (phi + abs(fov_down)) / fov) * self.height
+
+        proj_row = jnp.where(invalid, -1.0, proj_row)
+        proj_col = jnp.where(invalid, -1.0, proj_col)
+        return proj_row, proj_col, jnp.where(invalid, 0.0, r)
+
+
+def build_vertex_map(points: jnp.ndarray,
+                     proj: SphericalProjection,
+                     mask: Optional[jnp.ndarray] = None,
+                     channels: Optional[jnp.ndarray] = None,
+                     default_value: float = 0.0) -> jnp.ndarray:
+    """Rasterizes an (N, 3) padded point cloud into an (H, W, C) vertex map.
+
+    Args:
+        points: (N, 3) xyz, padded; invalid entries must be masked out via
+            `mask` or be exactly (0,0,0).
+        proj: static projection parameters.
+        mask: optional (N,) bool validity mask of the padding.
+        channels: optional (N, C) per-point channels to rasterize
+            (defaults to xyz itself).
+        default_value: fill value for empty pixels.
+
+    Returns:
+        (H, W, C) image; empty pixels hold `default_value`.
+    """
+    n = points.shape[0]
+    h, w = proj.height, proj.width
+    if channels is None:
+        channels = points
+
+    rows, cols, r = proj.project(points)
+    # The reference rounds pixel coordinates (projection.py:395-396) and
+    # invalidates out-of-bounds / zero-range points (398-410).
+    rows = jnp.round(rows)
+    cols = jnp.round(cols)
+    valid = (rows >= 0) & (rows <= h - 1) & (cols >= 0) & (cols <= w - 1) & (r > 0.0)
+    if mask is not None:
+        valid = valid & mask
+
+    flat = (rows.astype(jnp.int32) * w + cols.astype(jnp.int32))
+    # Send invalid points to a sentinel bucket (index h*w).
+    flat = jnp.where(valid, flat, h * w)
+
+    inf = jnp.array(jnp.inf, dtype=r.dtype)
+    # Pass 1: min range per pixel.
+    rmin = jnp.full((h * w + 1,), inf, dtype=r.dtype).at[flat].min(
+        jnp.where(valid, r, inf), mode="drop")
+    # Pass 2: min point-index among the range winners (deterministic ties).
+    is_winner = valid & (r <= rmin[flat])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    idx_min = jnp.full((h * w + 1,), n, dtype=jnp.int32).at[flat].min(
+        jnp.where(is_winner, idx, n), mode="drop")
+    idx_min = idx_min[: h * w]
+
+    hit = idx_min < n
+    gathered = channels[jnp.clip(idx_min, 0, n - 1)]
+    out = jnp.where(hit[:, None], gathered,
+                    jnp.asarray(default_value, dtype=channels.dtype))
+    return out.reshape(h, w, channels.shape[-1])
+
+
+def vertex_map_to_points(vmap: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, C) vertex map -> (..., H*W, C) point list (padded with zeros)."""
+    shape = vmap.shape
+    return vmap.reshape(*shape[:-3], shape[-3] * shape[-2], shape[-1])
+
+
+def estimate_timestamps(points: jnp.ndarray, clockwise: bool = True,
+                        phi_0: float = 0.0, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Azimuth-based per-point timestamp estimation for rotating LiDARs.
+
+    Mirrors reference geometry.py:443-466 with masked min/max for padding.
+    Returns (N,) timestamps normalized to [0, 1].
+    """
+    phis = jnp.arctan2(points[..., 1], points[..., 0]) * (-1.0 if clockwise else 1.0)
+    phis = phis - phi_0
+    phis = jnp.where(phis < 0.0, phis + 2.0 * math.pi, phis)
+    if mask is None:
+        lo, hi = phis.min(), phis.max()
+    else:
+        lo = jnp.min(jnp.where(mask, phis, jnp.inf))
+        hi = jnp.max(jnp.where(mask, phis, -jnp.inf))
+    return (phis - lo) / jnp.maximum(hi - lo, 1e-12)

@@ -1,0 +1,137 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pylidar_slam_tpu.ops import geometry, projection
+
+PROJ = projection.SphericalProjection(height=32, width=128, up_fov=3.0, down_fov=-24.0)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def random_scan(rng, n=2048):
+    """Random points inside the projector FOV."""
+    azim = rng.uniform(-np.pi, np.pi, n)
+    elev = rng.uniform(np.deg2rad(-23.5), np.deg2rad(2.5), n)
+    r = rng.uniform(2.0, 50.0, n)
+    x = r * np.cos(elev) * np.cos(azim)
+    y = r * np.cos(elev) * np.sin(azim)
+    z = r * np.sin(elev)
+    return np.stack([x, y, z], axis=1).astype(np.float32)
+
+
+def test_projection_in_bounds(rng):
+    pts = jnp.asarray(random_scan(rng))
+    rows, cols, r = PROJ.project(pts)
+    assert (np.asarray(rows) >= 0).all() and (np.asarray(rows) < PROJ.height).all()
+    assert (np.asarray(cols) >= 0).all() and (np.asarray(cols) < PROJ.width).all()
+    np.testing.assert_allclose(r, np.linalg.norm(np.asarray(pts), axis=1), rtol=1e-5)
+
+
+def test_zero_points_are_invalid():
+    pts = jnp.zeros((4, 3), dtype=jnp.float32)
+    rows, cols, r = PROJ.project(pts)
+    assert (np.asarray(rows) == -1).all()
+    assert (np.asarray(r) == 0).all()
+
+
+def test_vertex_map_closest_wins():
+    # Two points projecting to the same pixel; the closer one must win.
+    p_far = np.array([20.0, 0.0, -2.0], dtype=np.float32)
+    p_near = p_far / 2.0
+    pts = jnp.asarray(np.stack([p_far, p_near]))
+    vmap = projection.build_vertex_map(pts, PROJ)
+    vals = np.asarray(vmap).reshape(-1, 3)
+    nonzero = vals[np.abs(vals).sum(axis=1) > 0]
+    assert len(nonzero) == 1
+    np.testing.assert_allclose(nonzero[0], p_near, rtol=1e-6)
+
+
+def test_vertex_map_round_trip(rng):
+    """Each non-null vertex-map pixel must contain an input point that projects there."""
+    pts_np = random_scan(rng, 512)
+    pts = jnp.asarray(pts_np)
+    vmap = np.asarray(projection.build_vertex_map(pts, PROJ))
+    nonzero_mask = np.abs(vmap).sum(axis=-1) > 0
+    vals = vmap[nonzero_mask]
+    # every value is one of the input points
+    for v in vals[:50]:
+        dists = np.linalg.norm(pts_np - v, axis=1)
+        assert dists.min() < 1e-5
+
+
+def test_vertex_map_padding_mask(rng):
+    pts_np = random_scan(rng, 256)
+    padded = np.concatenate([pts_np, rng.normal(size=(64, 3)).astype(np.float32)])
+    mask = np.concatenate([np.ones(256, bool), np.zeros(64, bool)])
+    vm_masked = np.asarray(projection.build_vertex_map(
+        jnp.asarray(padded), PROJ, mask=jnp.asarray(mask)))
+    vm_clean = np.asarray(projection.build_vertex_map(jnp.asarray(pts_np), PROJ))
+    np.testing.assert_allclose(vm_masked, vm_clean)
+
+
+def test_compute_neighbors_brute_force(rng):
+    """compute_neighbors must equal a brute-force per-pixel argmin over K maps."""
+    h, w, k = 8, 16, 4
+    target = rng.normal(size=(h, w, 3)).astype(np.float32)
+    refs = rng.normal(size=(k, h, w, 3)).astype(np.float32)
+    # null some pixels
+    target[0, :3] = 0.0
+    refs[1, 2, :5] = 0.0
+    fields = rng.normal(size=(k, h, w, 3)).astype(np.float32)
+
+    nbrs, flds = geometry.compute_neighbors(
+        jnp.asarray(target), jnp.asarray(refs), jnp.asarray(fields))
+    nbrs, flds = np.asarray(nbrs), np.asarray(flds)
+
+    for i in range(h):
+        for j in range(w):
+            if np.abs(target[i, j]).max() == 0:
+                np.testing.assert_allclose(nbrs[i, j], 0.0)
+                continue
+            dists = [np.linalg.norm(target[i, j] - refs[kk, i, j])
+                     if np.abs(refs[kk, i, j]).max() > 0 else np.inf
+                     for kk in range(k)]
+            best = int(np.argmin(dists))
+            if np.isinf(dists[best]):
+                np.testing.assert_allclose(nbrs[i, j], 0.0)
+            else:
+                np.testing.assert_allclose(nbrs[i, j], refs[best, i, j], rtol=1e-6)
+                np.testing.assert_allclose(flds[i, j], fields[best, i, j], rtol=1e-6)
+
+
+def test_normal_map_on_plane(rng):
+    """Normals of a planar vertex map must align with the plane normal."""
+    h, w = 16, 32
+    # Plane z = 0.2x + 0.3y + 5 -> normal prop to (-0.2, -0.3, 1)
+    xs = rng.uniform(1.0, 10.0, (h, w)).astype(np.float32)
+    ys = rng.uniform(1.0, 10.0, (h, w)).astype(np.float32)
+    zs = 0.2 * xs + 0.3 * ys + 5.0
+    vmap = jnp.asarray(np.stack([xs, ys, zs], axis=-1))
+    nmap = np.asarray(geometry.compute_normal_map(vmap, kernel_size=5))
+    expected = np.array([-0.2, -0.3, 1.0])
+    expected /= np.linalg.norm(expected)
+    # Interior pixels (avoid border effects)
+    inner = nmap[3:-3, 3:-3].reshape(-1, 3)
+    cosines = np.abs(inner @ expected)
+    assert (cosines > 0.999).mean() > 0.95
+
+
+def test_inverse_3x3(rng):
+    mats = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    mats += 3 * np.eye(3)  # keep well-conditioned
+    inv, det = geometry.inverse_3x3(jnp.asarray(mats))
+    np.testing.assert_allclose(np.asarray(inv) @ mats,
+                               np.tile(np.eye(3), (64, 1, 1)), atol=1e-4)
+    np.testing.assert_allclose(det, np.linalg.det(mats), rtol=1e-3)
+
+
+def test_estimate_timestamps():
+    angles = np.linspace(0, 2 * np.pi * 0.99, 100)
+    pts = np.stack([np.cos(-angles), np.sin(-angles), np.zeros(100)], axis=1)
+    ts = np.asarray(projection.estimate_timestamps(jnp.asarray(pts.astype(np.float32)),
+                                                   clockwise=True))
+    np.testing.assert_allclose(ts, np.linspace(0, 1, 100), atol=1e-5)
