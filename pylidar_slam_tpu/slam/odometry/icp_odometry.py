@@ -1,0 +1,385 @@
+"""Frame-to-Model ICP odometry, fused into a single jitted device step.
+
+This is the flagship odometry (capability match of reference
+slam/odometry/icp_odometry.py) re-designed TPU-first:
+
+* The whole per-frame pipeline -- vertex-map rasterization, the ICP outer
+  loop (transform -> projective association -> robust point-to-plane
+  Gauss-Newton -> manifold renormalization), the map-insertion decision, and
+  the local-map update/model rebuild -- is ONE ``jax.jit`` computation with a
+  ``lax.while_loop`` for ICP convergence.  No host round-trips inside the
+  loop (the reference's kd-tree map crosses device<->host every iteration,
+  local_map.py:372-395; here everything stays in HBM/VMEM).
+* Point clouds are padded to a static size; per-frame work is fully
+  shape-stable, so the step compiles exactly once per sequence config.
+* The host wrapper preserves the reference's ``data_dict`` key contract
+  (``init_rpose`` in, ``odometry_pose``/``odometry_pc`` out).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pylidar_slam_tpu.config import MISSING, dataclass_from_dict
+from pylidar_slam_tpu.ops import geometry, optimization, projection, se3
+from pylidar_slam_tpu.slam.odometry import ODOMETRY
+from pylidar_slam_tpu.slam.odometry import local_map as lm
+from pylidar_slam_tpu.utils import assert_debug
+
+
+# ----------------------------------------------------------------------------
+# Configs (same group layout / field names as the reference)
+# ----------------------------------------------------------------------------
+
+@dataclass
+class OdometryConfig:
+    algorithm: str = MISSING
+
+
+@dataclass
+class GaussNewtonConfig:
+    max_iters: int = 1
+    norm_stop_criterion: float = 1.0e-3
+    scheme: str = "geman_mcclure"
+    sigma: float = 0.3
+    eps: float = 1.0e-4
+
+
+@dataclass
+class RigidAlignmentConfig:
+    mode: str = "point_to_plane_gauss_newton"
+    pose: str = "euler"
+    scheme: str = "huber"
+    gauss_newton_config: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class ICPFrameToModelConfig(OdometryConfig):
+    """Point-to-plane frame-to-model ICP configuration.
+
+    Field names/defaults mirror reference icp_odometry.py:30-64 so existing
+    command lines compose unchanged."""
+    algorithm: str = "icp_F2M"
+    device: str = "tpu"
+    pose: str = "euler"
+    max_num_alignments: int = 100  # yaml default overrides to 10
+
+    local_map: Any = None
+    alignment: Any = None
+
+    threshold_delta_pose: float = 1.0e-4
+    threshold_trans: float = 0.1
+    threshold_rot: float = 0.3
+    sigma: float = 0.1
+
+    data_key: str = "vertex_map"
+    viz_debug: bool = False
+
+    # TPU-specific: static padded point capacity for raw point-cloud inputs.
+    num_points_padded: int = 131072
+
+
+class ICPStepResult(NamedTuple):
+    pose_params: jnp.ndarray  # (6,)
+    pose_matrix: jnp.ndarray  # (4, 4)
+    loss: jnp.ndarray  # () final weighted residual loss
+    num_iters: jnp.ndarray  # () int32 ICP iterations executed
+    num_matches: jnp.ndarray  # () int32 valid correspondences in last iter
+    inserted: jnp.ndarray  # () bool - frame inserted into the map
+
+
+def make_icp_frame_step(proj: projection.SphericalProjection,
+                        max_num_alignments: int,
+                        threshold_delta_pose: float,
+                        threshold_trans: float,
+                        threshold_rot: float,
+                        gn: GaussNewtonConfig,
+                        normals_kernel_size: int = 5):
+    """Builds the fused (jitted) per-frame ICP step.
+
+    Returns ``step(map_state, delta_since_update, vmap, init_pose)`` ->
+    ``(map_state', delta_since_update', ICPStepResult)``.
+    """
+
+    def register(map_state: lm.ProjectiveMapState, vmap: jnp.ndarray,
+                 init_pose: jnp.ndarray):
+        """The ICP outer loop (reference register_new_frame, 248-299)."""
+        tgt_pts = vmap.reshape(-1, 3)
+        tgt_valid = jnp.max(jnp.abs(tgt_pts), axis=-1) > 0
+
+        def body(carry):
+            pose_mat, _, it, _, _, _ = carry
+            pts = se3.apply_transformation(tgt_pts[None], pose_mat[None])[0]
+            tvmap = projection.build_vertex_map(pts, proj, mask=tgt_valid)
+
+            nbrs, nrms = lm.nearest_neighbors(map_state, tvmap)
+            t = tvmap.reshape(-1, 3)
+            r = nbrs.reshape(-1, 3)
+            n = nrms.reshape(-1, 3)
+            mask = (jnp.max(jnp.abs(t), axis=-1) > 0) & \
+                   (jnp.max(jnp.abs(r), axis=-1) > 0) & \
+                   (jnp.max(jnp.abs(n), axis=-1) > 0)
+            sq_dists = jnp.sum((t - r) ** 2, axis=-1)
+
+            # Robust GN on the correspondences, starting from zero params
+            # (one step by default -- reference alignment gauss_newton_config)
+            res_fun = lambda p: optimization.point_to_plane_residuals(p, t, r, n, mask)
+            jac_fun = lambda p: optimization.point_to_plane_jacobian(p, t, n, mask)
+            result = optimization.gauss_newton(
+                jnp.zeros(6, tgt_pts.dtype), res_fun, jac_fun,
+                max_iters=gn.max_iters, norm_stop_criterion=gn.norm_stop_criterion,
+                scheme=gn.scheme, sigma=gn.sigma, sq_dists=sq_dists, eps=gn.eps)
+
+            delta_norm = jnp.linalg.norm(result.params)
+            # The reference breaks BEFORE composing a sub-threshold delta
+            # (icp_odometry.py:292-297).
+            apply = (delta_norm >= threshold_delta_pose) & (~result.singular)
+            delta_mat = se3.build_pose_matrix(result.params[None])[0]
+            new_pose = se3.normalize_pose_matrix((delta_mat @ pose_mat)[None])[0]
+            pose_out = jnp.where(apply, new_pose, pose_mat)
+            return (pose_out, delta_norm, it + 1, result.loss,
+                    jnp.sum(mask).astype(jnp.int32), result.singular)
+
+        def cond(carry):
+            _, delta_norm, it, _, _, singular = carry
+            return (it < max_num_alignments) & \
+                   (delta_norm >= threshold_delta_pose) & (~singular)
+
+        init = (init_pose, jnp.array(jnp.inf, vmap.dtype),
+                jnp.array(0, jnp.int32), jnp.array(0.0, vmap.dtype),
+                jnp.array(0, jnp.int32), jnp.array(False))
+        pose_mat, _, it, loss, matches, _ = jax.lax.while_loop(cond, body, init)
+        pose_params = se3.from_pose_matrix(pose_mat[None])[0]
+        return pose_params, pose_mat, loss, it, matches
+
+    def step(map_state: lm.ProjectiveMapState,
+             delta_since_update: jnp.ndarray,
+             vmap: jnp.ndarray,
+             init_pose: jnp.ndarray):
+        pose_params, pose_mat, loss, it, matches = register(
+            map_state, vmap, init_pose)
+
+        # Map insertion decision (reference __update_map, 360-380): insert when
+        # the motion since the last inserted frame exceeds the thresholds.
+        new_delta = delta_since_update @ pose_mat
+        d_params = se3.from_pose_matrix(new_delta[None])[0]
+        insert = (jnp.linalg.norm(d_params[:3]) > threshold_trans) | \
+                 (jnp.linalg.norm(d_params[3:]) * 180.0 / math.pi > threshold_rot)
+
+        map_state = lm.update_projective_map(
+            map_state, pose_mat, vmap, proj, insert,
+            normals_kernel_size=normals_kernel_size)
+        delta_out = jnp.where(insert, jnp.eye(4, dtype=new_delta.dtype), new_delta)
+        return map_state, delta_out, ICPStepResult(
+            pose_params, pose_mat, loss, it, matches, insert)
+
+    def first_frame(map_state: lm.ProjectiveMapState, vmap: jnp.ndarray):
+        """Initializes the map with the first frame (reference 171-181)."""
+        eye = jnp.eye(4, dtype=vmap.dtype)
+        return lm.update_projective_map(
+            map_state, eye, vmap, proj, jnp.array(True),
+            normals_kernel_size=normals_kernel_size)
+
+    def build_vmap_from_points(points: jnp.ndarray, mask: jnp.ndarray):
+        return projection.build_vertex_map(points, proj, mask=mask)
+
+    return (jax.jit(step, donate_argnums=(0,)),
+            jax.jit(first_frame, donate_argnums=(0,)),
+            jax.jit(build_vmap_from_points))
+
+
+# ----------------------------------------------------------------------------
+# Host-side odometry module (data_dict protocol)
+# ----------------------------------------------------------------------------
+
+class ICPFrameToModel:
+    """Host wrapper driving the fused device step with the reference's
+    ``data_dict`` key contract.
+
+    Accepted inputs under ``config.data_key`` (reference _read_input, 319-358):
+    an (N, 3) numpy point cloud (padded + rasterized on device), an
+    (H, W, 3) / (3, H, W) vertex map array, or a jnp array of the same.
+    """
+
+    def __init__(self, config: ICPFrameToModelConfig,
+                 projector: projection.SphericalProjection = None,
+                 **kwargs):
+        if not isinstance(config, ICPFrameToModelConfig):
+            config = dataclass_from_dict(ICPFrameToModelConfig, config)
+        self.config = config
+        assert_debug(projector is not None, "ICP odometry requires a projector")
+        self.projector = projector
+
+        lm_cfg = dataclass_from_dict(
+            lm.ProjectiveLocalMapConfig, config.local_map
+            if isinstance(config.local_map, dict) else None)
+        align_cfg = config.alignment if isinstance(config.alignment, dict) else {}
+        gn_cfg = dataclass_from_dict(
+            GaussNewtonConfig, align_cfg.get("gauss_newton_config", {}))
+
+        self.local_map_size = int(lm_cfg.local_map_size)
+        self._step, self._first, self._build_vmap = make_icp_frame_step(
+            proj=projector,
+            max_num_alignments=int(config.max_num_alignments),
+            threshold_delta_pose=float(config.threshold_delta_pose),
+            threshold_trans=float(config.threshold_trans),
+            threshold_rot=float(config.threshold_rot),
+            gn=gn_cfg,
+            normals_kernel_size=int(lm_cfg.normals_kernel_size),
+        )
+
+        self._map_state: Optional[lm.ProjectiveMapState] = None
+        self._delta_since_update: Optional[jnp.ndarray] = None
+        # Device-side pose log: one (6,) params array per frame.  Fetched in
+        # ONE batched transfer at the end of the sequence -- any per-frame
+        # device->host fetch pays a full dispatch round-trip and would
+        # serialize the pipeline (measured ~26 ms on a tunneled TPU).
+        self._params_log: list = []
+        self._iter = 0
+        self.last_rpose_device: Optional[jnp.ndarray] = None
+        self.last_result: Optional[ICPStepResult] = None
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def init(self):
+        k = self.local_map_size
+        h, w = self.projector.height, self.projector.width
+        self._map_state = init_projective_map(k, h, w)
+        self._delta_since_update = jnp.eye(4, dtype=jnp.float32)
+        self._params_log = []
+        self._iter = 0
+        self.last_rpose_device = None
+        self.last_result = None
+
+    # -- helpers ------------------------------------------------------------
+
+    def _pad_points(self, points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        n_cap = self.config.num_points_padded
+        pts = points[:, :3].astype(np.float32)
+        # NaN scrub (reference remove_nan / modify_nan_pmap, 356-358)
+        nan_rows = np.isnan(pts).any(axis=1)
+        if nan_rows.any():
+            pts = pts[~nan_rows]
+        n = min(pts.shape[0], n_cap)
+        padded = np.zeros((n_cap, 3), dtype=np.float32)
+        padded[:n] = pts[:n]
+        mask = np.zeros((n_cap,), dtype=bool)
+        mask[:n] = True
+        return padded, mask
+
+    def _read_input(self, data_dict: dict) -> jnp.ndarray:
+        key = self.config.data_key
+        assert_debug(key in data_dict,
+                     f"Could not find the key `{key}` in the input dictionary "
+                     f"(keys: {list(data_dict.keys())}). Set `slam.odometry.data_key`.")
+        data = data_dict[key]
+        if isinstance(data, jnp.ndarray) and data.ndim == 3:
+            vmap = data
+            if vmap.shape[0] == 3:  # (3, H, W) reference layout -> channels-last
+                vmap = jnp.transpose(vmap, (1, 2, 0))
+            return jnp.nan_to_num(vmap.astype(jnp.float32))
+        arr = np.asarray(data)
+        if arr.ndim == 3:
+            if arr.shape[0] == 3:
+                arr = arr.transpose(1, 2, 0)
+            return jnp.nan_to_num(jnp.asarray(arr, dtype=jnp.float32))
+        assert_debug(arr.ndim == 2 and arr.shape[1] >= 3,
+                     f"Cannot interpret data under '{key}' with shape {arr.shape}")
+        padded, mask = self._pad_points(arr)
+        return self._build_vmap(jnp.asarray(padded), jnp.asarray(mask))
+
+    @staticmethod
+    def pointcloud_key() -> str:
+        return "odometry_pc"
+
+    @staticmethod
+    def relative_pose_key() -> str:
+        return "odometry_pose"
+
+    # -- main ---------------------------------------------------------------
+
+    def process_next_frame(self, data_dict: dict):
+        vmap = self._read_input(data_dict)
+
+        if self._iter == 0:
+            self._map_state = self._first(self._map_state, vmap)
+            self.last_rpose_device = jnp.eye(4, dtype=jnp.float32)
+            self._params_log.append(jnp.zeros(6, dtype=jnp.float32))
+            self._iter += 1
+            data_dict[self.relative_pose_key()] = self.last_rpose_device
+            return
+
+        init_np = data_dict.get("init_rpose", None)
+        if init_np is None:
+            init_pose = jnp.eye(4, dtype=jnp.float32)
+        elif isinstance(init_np, jnp.ndarray):
+            init_pose = init_np.astype(jnp.float32)
+        else:
+            init_pose = jnp.asarray(np.asarray(init_np), dtype=jnp.float32)
+
+        self._map_state, self._delta_since_update, result = self._step(
+            self._map_state, self._delta_since_update, vmap, init_pose)
+        self.last_rpose_device = result.pose_matrix
+        self.last_result = result
+        self._params_log.append(result.pose_params)
+
+        # NO host sync here: the pose stays a device array and is fetched in
+        # one batched transfer by get_relative_poses().  Downstream consumers
+        # (loop closure / backend) convert on demand.
+        data_dict[self.relative_pose_key()] = result.pose_matrix
+        data_dict[self.pointcloud_key()] = vmap  # device array, fetched lazily
+        self._iter += 1
+
+    def fetch_params_log(self) -> Optional[np.ndarray]:
+        """One batched device->host fetch of all logged (6,) pose params."""
+        if not self._params_log:
+            return None
+        return np.asarray(jnp.stack(self._params_log), dtype=np.float64)
+
+    def get_relative_poses(self) -> Optional[np.ndarray]:
+        params = self.fetch_params_log()
+        if params is None:
+            return None
+        # float64 pose matrices on host (reference keeps a float64 absolute
+        # ledger, slam.py:142-144; relative matrices are rebuilt exactly from
+        # the float32 params the device solved for).
+        return np.stack([_pose_matrix_f64(p) for p in params]).astype(np.float32)
+
+    @property
+    def absolute_poses(self) -> list:
+        """Float64 absolute pose ledger (computed lazily from the log)."""
+        params = self.fetch_params_log()
+        if params is None:
+            return []
+        out = [np.eye(4)]
+        for p in params[1:]:
+            out.append(out[-1] @ _pose_matrix_f64(p))
+        return out
+
+
+def _pose_matrix_f64(params: np.ndarray) -> np.ndarray:
+    """Float64 euler-xyz pose matrix (host-side, for the absolute ledger)."""
+    tx, ty, tz, ex, ey, ez = params
+    cx, sx = np.cos(ex), np.sin(ex)
+    cy, sy = np.cos(ey), np.sin(ey)
+    cz, sz = np.cos(ez), np.sin(ez)
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    mat = np.eye(4)
+    mat[:3, :3] = rz @ ry @ rx
+    mat[:3, 3] = [tx, ty, tz]
+    return mat
+
+
+def init_projective_map(k, h, w):
+    return lm.init_projective_map(k, h, w)
+
+
+ODOMETRY.register("icp_F2M", ICPFrameToModel, ICPFrameToModelConfig)

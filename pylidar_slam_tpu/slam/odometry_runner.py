@@ -1,0 +1,204 @@
+"""SLAM runner: drives the SLAM pipeline over dataset sequences and evaluates.
+
+Capability match of reference slam/odometry/odometry_runner.py: per-sequence
+frame loop with timing, failure dumping (partial trajectory saved on
+exception), results + metrics via OdometryResults, config/git-hash stamping.
+
+Host-side data loading uses a background prefetch thread per sequence
+(replacing the reference's torch DataLoader worker processes): frames are
+decoded/padded one step ahead of the device, which keeps the TPU step queue
+full without process-fork overhead.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import shutil
+import subprocess
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+import yaml
+
+from pylidar_slam_tpu.config import MISSING, dataclass_from_dict
+from pylidar_slam_tpu.dataset import DATASET
+from pylidar_slam_tpu.eval.eval_odometry import OdometryResults
+from pylidar_slam_tpu.slam.slam import SLAM, SLAMConfig
+from pylidar_slam_tpu.utils import assert_debug
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class SLAMRunnerConfig:
+    """Field names mirror reference odometry_runner.py:37-69."""
+    slam: Any = None
+    dataset: Any = None
+    max_num_frames: int = -1
+    save_results: bool = True
+    pose: str = "euler"
+    device: str = "tpu"
+    num_workers: int = 2
+    pin_memory: bool = True
+    log_dir: str = "."
+    fail_dir: str = ""
+    move_if_fail: bool = False
+    eval_mode: str = "normal"
+
+
+def _git_hash() -> str:
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], stderr=subprocess.DEVNULL).decode().strip()
+    except Exception:
+        return "unknown"
+
+
+class _Prefetcher:
+    """Background-thread frame prefetcher (bounded queue)."""
+
+    def __init__(self, dataset, depth: int = 4, max_frames: int = -1):
+        self.dataset = dataset
+        self.n = len(dataset) if max_frames < 0 else min(len(dataset), max_frames)
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _worker(self):
+        try:
+            for i in range(self.n):
+                self.q.put(("ok", self.dataset[i]))
+        except Exception as e:  # surface loader errors on the main thread
+            self.q.put(("err", e))
+        self.q.put(("done", None))
+
+    def __iter__(self):
+        while True:
+            kind, item = self.q.get()
+            if kind == "done":
+                return
+            if kind == "err":
+                raise item
+            yield item
+
+
+class SLAMRunner:
+    """Runs the SLAM over every sequence of the configured dataset."""
+
+    def __init__(self, config: SLAMRunnerConfig):
+        if isinstance(config, dict):
+            config = dataclass_from_dict(SLAMRunnerConfig, config)
+        self.config = config
+        self.log_dir = Path(config.log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+
+        assert_debug(config.dataset is not None, "A dataset config is required")
+        self.dataset_loader = DATASET.load(dict(config.dataset))
+        self.projector = self.dataset_loader.projector()
+
+        slam_cfg = config.slam if config.slam is not None else {}
+        self.slam_config = dataclass_from_dict(SLAMConfig, dict(slam_cfg))
+
+        # Stamp the composed config + git hash for reproducibility
+        # (reference odometry_runner.py:99-109).
+        with open(self.log_dir / "config.yaml", "w") as f:
+            yaml.safe_dump({
+                "git_hash": _git_hash(),
+                "config": _to_plain(config),
+            }, f)
+
+    def load_slam_algorithm(self) -> SLAM:
+        slam = SLAM(self.slam_config, projector=self.projector,
+                    pose=self.config.pose)
+        slam.init()
+        return slam
+
+    def ground_truth(self, sequence_name: str) -> Optional[np.ndarray]:
+        return self.dataset_loader.get_ground_truth(sequence_name)
+
+    def run_odometry(self) -> Dict[str, dict]:
+        """Runs SLAM over all train sequences; returns metrics per sequence."""
+        (datasets, names), _, _, _ = self.dataset_loader.sequences()
+        results = OdometryResults(str(self.log_dir)) if self.config.save_results else None
+        all_metrics: Dict[str, dict] = {}
+
+        for seq_name, dataset in zip(names, datasets):
+            logger.info("Running SLAM on sequence %s (%d frames)",
+                        seq_name, len(dataset))
+            slam = self.load_slam_algorithm()
+            start = time.time()
+            frame_count = 0
+            failed = False
+            try:
+                for data_dict in _Prefetcher(dataset,
+                                             max_frames=self.config.max_num_frames):
+                    slam.process_next_frame(data_dict)
+                    frame_count += 1
+            except (Exception, KeyboardInterrupt) as e:
+                # Failure dumping: save the partial trajectory then re-raise
+                # (reference catch_exception, odometry_runner.py:162-167).
+                failed = True
+                logger.error("SLAM failed at frame %d of %s: %s",
+                             frame_count, seq_name, e)
+                self._dump_partial(slam, seq_name)
+                if self.config.move_if_fail and self.config.fail_dir:
+                    self._move_to_fail_dir()
+                raise
+            finally:
+                if failed:
+                    pass
+            elapsed = time.time() - start
+
+            relative = slam.get_relative_poses()
+            ground_truth = self.ground_truth(seq_name)
+            if ground_truth is not None and self.config.max_num_frames > 0:
+                ground_truth = ground_truth[:frame_count]
+            if results is not None:
+                results.add_sequence(seq_name, relative, ground_truth,
+                                     elapsed=elapsed, mode=self.config.eval_mode)
+                if seq_name in results.metrics:
+                    all_metrics[seq_name] = dict(results.metrics[seq_name])
+            logger.info("Sequence %s: %d frames in %.1fs (%.1f scans/s)",
+                        seq_name, frame_count, elapsed,
+                        frame_count / max(elapsed, 1e-9))
+            if slam.backend is not None:
+                slam.dump_all_constraints(str(self.log_dir / f"constraints_{seq_name}"))
+
+        if results is not None:
+            results.close()
+            if "AVG" in results.metrics:
+                all_metrics["AVG"] = results.metrics["AVG"]
+        return all_metrics
+
+    def _dump_partial(self, slam: SLAM, seq_name: str):
+        try:
+            relative = slam.get_relative_poses()
+            if relative is not None and len(relative) > 0:
+                np.savetxt(str(self.log_dir / f"{seq_name}.partial_poses.txt"),
+                           relative[:, :3, :].reshape(len(relative), 12))
+        except Exception as dump_err:
+            logger.error("Could not dump partial trajectory: %s", dump_err)
+
+    def _move_to_fail_dir(self):
+        fail_dir = Path(self.config.fail_dir)
+        fail_dir.mkdir(parents=True, exist_ok=True)
+        target = fail_dir / self.log_dir.name
+        shutil.move(str(self.log_dir), str(target))
+        logger.error("Moved failed run dir to %s", target)
+
+
+def _to_plain(obj):
+    import dataclasses
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _to_plain(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, dict):
+        return {k: _to_plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_plain(v) for v in obj]
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)
