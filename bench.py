@@ -79,9 +79,11 @@ def main():
         odom.process_next_frame(d)
         last_rpose = d.get("odometry_pose", last_rpose)
 
-    # Warmup (compilation + map fill)
+    # Warmup (compilation + map fill); sync so queued warmup work doesn't
+    # bleed into the timed region.
     for i in range(WARMUP):
         run_frame(frames[i % len(frames)])
+    _ = np.asarray(odom.last_rpose_device)
 
     # Steady state timing
     bench_frames = frames[WARMUP:] if len(frames) > WARMUP else frames
