@@ -61,8 +61,9 @@ def main():
     frames, proj, source = load_frames()
 
     icp_cfg = ICPFrameToModelConfig(
-        max_num_alignments=10,
-        local_map={"local_map_size": 20, "normals_kernel_size": 5},
+        max_num_alignments=9,
+        local_map={"type": "aggregated_local_map", "local_map_size": 20,
+                   "window_rows": 1, "window_cols": 2},
         alignment={"gauss_newton_config": {"scheme": "geman_mcclure",
                                            "sigma": 0.3, "max_iters": 1}},
         num_points_padded=131072,

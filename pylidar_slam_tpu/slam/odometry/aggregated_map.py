@@ -1,0 +1,354 @@
+"""Aggregated incremental projective local map -- the TPU-fast flagship.
+
+Design rationale (measured on the target device, see scripts/dev_profile_*):
+scatters (~0.4 ms/131k), gathers (~1.6 ms/131k) and random access dominate;
+elementwise image passes are comparatively cheap.  So instead of the
+reference's K separate model maps re-rasterized every frame
+(slam/odometry/local_map.py:177-202 -- K z-buffer scatters per frame), the
+model here is ONE (H, W) image in the frame of the last inserted keyframe
+("anchor") holding xyz + normal + age per pixel:
+
+* **insert** (motion-thresholded, like reference icp_odometry.py:360-380):
+  the new scan becomes the anchor; the old model is re-expressed and
+  re-rasterized ONCE (single encoded scatter-min + channel gathers) and
+  merged with the new scan's vertex/normal image by a per-pixel
+  closest-range select; pixels older than `local_map_size` inserts are
+  evicted by an elementwise age mask (the ring-buffer equivalent).
+
+* **association**: the target scan is rasterized into the anchor grid at the
+  current pose estimate, then candidates come from a small (row, col) window
+  of the model image around each target pixel -- pure shifted elementwise
+  passes (cols roll around azimuth), no gathers.  A window generalizes the
+  reference's same-pixel-across-K-maps rule (geometry.py:397-439) and
+  tolerates coarser re-rasterization.
+
+* **iteration structure**: NR re-rasterization rounds x NG Gauss-Newton
+  steps with window re-search per step.  Points keep exact coordinates; only
+  their grid assignment is stale within a round.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pylidar_slam_tpu.config import MISSING
+from pylidar_slam_tpu.ops import geometry, projection, se3
+from pylidar_slam_tpu.slam.odometry.local_map import LOCAL_MAP, LocalMapConfig
+
+
+@dataclass
+class AggregatedLocalMapConfig(LocalMapConfig):
+    type: str = "aggregated_local_map"
+    local_map_size: int = 20  # eviction age, in inserted keyframes
+    normals_kernel_size: int = 5
+    window_rows: int = 1  # search window half-extent in rows
+    window_cols: int = 2  # search window half-extent in cols (azimuth)
+    max_neighbor_dist: float = 1.0  # reject correspondences farther than this (m)
+
+
+LOCAL_MAP.register("aggregated_local_map", object, AggregatedLocalMapConfig)
+
+
+class AggMapState(NamedTuple):
+    """Model image in the anchor keyframe's frame."""
+    xyz: jnp.ndarray  # (H, W, 3) 0 = empty
+    normal: jnp.ndarray  # (H, W, 3)
+    rng: jnp.ndarray  # (H, W) range (0 = empty)
+    age: jnp.ndarray  # (H, W) int32 inserts since the pixel's scan
+    anchor_from_cur: jnp.ndarray  # (4, 4): current frame -> anchor frame
+
+
+def init_agg_map(h: int, w: int, dtype=jnp.float32) -> AggMapState:
+    return AggMapState(
+        xyz=jnp.zeros((h, w, 3), dtype),
+        normal=jnp.zeros((h, w, 3), dtype),
+        rng=jnp.zeros((h, w), dtype),
+        age=jnp.zeros((h, w), jnp.int32),
+        anchor_from_cur=jnp.eye(4, dtype=dtype))
+
+
+# ----------------------------------------------------------------------------
+# Rasterization with a single encoded scatter-min
+# ----------------------------------------------------------------------------
+
+_IDX_BITS = 18  # supports up to 262144 input points
+_RANGE_BITS = 13  # quantized range priority: 8192 steps
+
+
+def rasterize_encoded(points: jnp.ndarray,
+                      proj: projection.SphericalProjection,
+                      mask: jnp.ndarray,
+                      max_range: float = 120.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest-wins rasterization via ONE int32 scatter-min.
+
+    The priority key packs (quantized range, point index): the per-pixel min
+    selects the closest point with deterministic lowest-index tie-breaking.
+    Returns (winner_idx (H*W,) int32 clipped to [0, n-1], hit (H*W,) bool).
+    """
+    n = points.shape[0]
+    assert n < (1 << _IDX_BITS), f"point capacity {n} exceeds {_IDX_BITS}-bit index"
+    h, w = proj.height, proj.width
+    rows, cols, r = proj.project(points)
+    rows = jnp.round(rows)
+    cols = jnp.round(cols)
+    valid = (rows >= 0) & (rows <= h - 1) & (cols >= 0) & (cols <= w - 1) & \
+            (r > 0.0) & mask
+    flat = jnp.where(valid, rows.astype(jnp.int32) * w + cols.astype(jnp.int32),
+                     h * w)
+
+    qr = jnp.minimum(r * ((1 << _RANGE_BITS) / max_range),
+                     (1 << _RANGE_BITS) - 1).astype(jnp.int32)
+    key = (qr << _IDX_BITS) | jnp.arange(n, dtype=jnp.int32)
+    sentinel = jnp.iinfo(jnp.int32).max
+    kmin = jnp.full((h * w + 1,), sentinel, jnp.int32).at[flat].min(
+        jnp.where(valid, key, sentinel), mode="drop")[: h * w]
+    hit = kmin != sentinel
+    idx = jnp.clip(kmin & ((1 << _IDX_BITS) - 1), 0, n - 1)
+    return idx, hit
+
+
+def build_scan_images(points: jnp.ndarray,
+                      mask: jnp.ndarray,
+                      proj: projection.SphericalProjection,
+                      normals_kernel_size: int = 5):
+    """Rasterizes a scan -> (vertex map, normal map, range image), (H, W, *)."""
+    h, w = proj.height, proj.width
+    idx, hit = rasterize_encoded(points, proj, mask)
+    vmap = jnp.where(hit[:, None], points[idx], 0.0).reshape(h, w, 3)
+    nmap = geometry.compute_normal_map(vmap, normals_kernel_size)
+    rimg = jnp.linalg.norm(vmap, axis=-1)
+    return vmap, nmap, rimg
+
+
+# ----------------------------------------------------------------------------
+# Map update
+# ----------------------------------------------------------------------------
+
+def insert_scan(state: AggMapState,
+                scan_vmap: jnp.ndarray,
+                scan_nmap: jnp.ndarray,
+                scan_rimg: jnp.ndarray,
+                new_anchor_from_old_anchor: jnp.ndarray,
+                proj: projection.SphericalProjection,
+                max_age: int) -> AggMapState:
+    """Inserts a scan; the scan's frame becomes the new anchor.
+
+    The old model is re-expressed in the new anchor frame, re-rasterized once,
+    and merged with the scan by per-pixel closest-range select.  Old pixels
+    beyond `max_age` are evicted first (elementwise ring-buffer semantics).
+    """
+    h, w, _ = scan_vmap.shape
+    t = new_anchor_from_old_anchor
+
+    old_pts = state.xyz.reshape(-1, 3)
+    old_nrm = state.normal.reshape(-1, 3)
+    old_age = state.age.reshape(-1)
+    old_valid = (state.rng.reshape(-1) > 0) & (old_age < max_age)
+
+    moved = se3.apply_transformation(old_pts[None], t[None])[0]
+    moved_nrm = se3.apply_rotation(old_nrm[None], t[None])[0]
+
+    idx, hit = rasterize_encoded(moved, proj, old_valid)
+    old_img_xyz = jnp.where(hit[:, None], moved[idx], 0.0).reshape(h, w, 3)
+    old_img_nrm = jnp.where(hit[:, None], moved_nrm[idx], 0.0).reshape(h, w, 3)
+    old_img_age = jnp.where(hit, old_age[idx], 0).reshape(h, w)
+    old_img_rng = jnp.linalg.norm(old_img_xyz, axis=-1)
+
+    # Per-pixel merge: closest range wins; empty pixels take whichever side hits.
+    new_has = scan_rimg > 0
+    old_has = old_img_rng > 0
+    take_old = old_has & ((~new_has) | (old_img_rng < scan_rimg))
+
+    xyz = jnp.where(take_old[..., None], old_img_xyz, scan_vmap)
+    nrm = jnp.where(take_old[..., None], old_img_nrm, scan_nmap)
+    rng = jnp.where(take_old, old_img_rng, scan_rimg)
+    age = jnp.where(take_old, old_img_age + 1, 0)
+    age = jnp.where(rng > 0, age, 0)
+
+    return AggMapState(xyz=xyz, normal=nrm, rng=rng, age=age,
+                       anchor_from_cur=jnp.eye(4, dtype=xyz.dtype))
+
+
+def shift_anchor_pose(state: AggMapState, rpose: jnp.ndarray) -> AggMapState:
+    """Tracks a non-inserted frame: anchor_from_cur <- anchor_from_cur @ rpose."""
+    return state._replace(anchor_from_cur=state.anchor_from_cur @ rpose)
+
+
+# ----------------------------------------------------------------------------
+# Window association (pure shifted elementwise passes)
+# ----------------------------------------------------------------------------
+
+def window_associate(state: AggMapState,
+                     tgt_img: jnp.ndarray,
+                     window_rows: int,
+                     window_cols: int,
+                     max_dist: float):
+    """For each target-image pixel, the best model candidate in a small window.
+
+    Cols roll (azimuth wraps); rows shift with zero fill.  Returns
+    (ref_xyz, ref_normal, mask, sq_dists) flattened to (H*W, ...).
+    """
+    h, w, _ = tgt_img.shape
+    tgt_valid = jnp.max(jnp.abs(tgt_img), axis=-1) > 0
+    model_valid = state.rng > 0
+
+    best_d = jnp.full((h, w), jnp.inf, tgt_img.dtype)
+    best_xyz = jnp.zeros_like(tgt_img)
+    best_nrm = jnp.zeros_like(tgt_img)
+
+    for dr in range(-window_rows, window_rows + 1):
+        # row shift without wrap
+        if dr == 0:
+            mx, mn, mv = state.xyz, state.normal, model_valid
+        else:
+            mx = jnp.roll(state.xyz, dr, axis=0)
+            mn = jnp.roll(state.normal, dr, axis=0)
+            mv = jnp.roll(model_valid, dr, axis=0)
+            if dr > 0:
+                mv = mv.at[:dr].set(False)
+            else:
+                mv = mv.at[dr:].set(False)
+        for dc in range(-window_cols, window_cols + 1):
+            cx = jnp.roll(mx, dc, axis=1)
+            cn = jnp.roll(mn, dc, axis=1)
+            cv = jnp.roll(mv, dc, axis=1)
+            d = jnp.sum((tgt_img - cx) ** 2, axis=-1)
+            d = jnp.where(cv & tgt_valid, d, jnp.inf)
+            better = d < best_d
+            best_d = jnp.where(better, d, best_d)
+            best_xyz = jnp.where(better[..., None], cx, best_xyz)
+            best_nrm = jnp.where(better[..., None], cn, best_nrm)
+
+    ok = jnp.isfinite(best_d) & (best_d <= max_dist * max_dist) & \
+         (jnp.max(jnp.abs(best_nrm), axis=-1) > 0)
+    return (best_xyz.reshape(-1, 3), best_nrm.reshape(-1, 3),
+            ok.reshape(-1), jnp.where(ok, best_d, 0.0).reshape(-1))
+
+
+# ----------------------------------------------------------------------------
+# The fused per-frame ICP step
+# ----------------------------------------------------------------------------
+
+def make_agg_icp_frame_step(proj: projection.SphericalProjection,
+                            map_cfg: AggregatedLocalMapConfig,
+                            max_num_alignments: int,
+                            reassoc_every: int,
+                            threshold_delta_pose: float,
+                            threshold_trans: float,
+                            threshold_rot: float,
+                            gn_scheme: str,
+                            gn_sigma: float,
+                            gn_eps: float = 1.0e-4):
+    """Builds the jitted per-frame step for the aggregated-map odometry.
+
+    Iteration structure: `max_num_alignments` GN iterations; the target is
+    re-rasterized into the anchor grid every `reassoc_every` iterations
+    (grid assignments are stale in between, point values never are).
+    """
+    from pylidar_slam_tpu.ops import optimization
+
+    h, w = proj.height, proj.width
+    max_age = int(map_cfg.local_map_size)
+    wr, wc = int(map_cfg.window_rows), int(map_cfg.window_cols)
+    max_nd = float(map_cfg.max_neighbor_dist)
+    nks = int(map_cfg.normals_kernel_size)
+
+    def register(state: AggMapState, tgt_pts: jnp.ndarray,
+                 tgt_mask: jnp.ndarray, t_init: jnp.ndarray):
+        """ICP: solves T = anchor_from_new. tgt_pts (N, 3) in the new frame."""
+
+        def rasterize_target(t):
+            q = se3.apply_transformation(tgt_pts[None], t[None])[0]
+            idx, hit = rasterize_encoded(q, proj, tgt_mask)
+            timg0 = jnp.where(hit[:, None], q[idx], 0.0).reshape(h, w, 3)
+            return timg0
+
+        def body(carry):
+            t, timg0, t_round, _, it, _, _ = carry
+            # Re-rasterize target into the anchor grid every `reassoc_every`
+            # iterations; in between, transform the round image's VALUES by
+            # the accumulated delta (elementwise, exact).
+            do_reassoc = (it % reassoc_every) == 0
+            timg0, t_round = jax.lax.cond(
+                do_reassoc,
+                lambda _: (rasterize_target(t), t),
+                lambda _: (timg0, t_round),
+                None)
+            delta_round = t @ se3.inverse_pose_matrix(t_round[None])[0]
+            tvalid = jnp.max(jnp.abs(timg0), axis=-1, keepdims=True) > 0
+            timg = jnp.where(
+                tvalid,
+                se3.apply_transformation(timg0.reshape(1, -1, 3),
+                                         delta_round[None])[0].reshape(h, w, 3),
+                0.0)
+
+            ref, nrm, ok, sq_d = window_associate(state, timg, wr, wc, max_nd)
+            tp = timg.reshape(-1, 3)
+
+            res = optimization.point_to_plane_residuals(
+                jnp.zeros(6, tp.dtype), tp, ref, nrm, ok)
+            jac = optimization.point_to_plane_jacobian(
+                jnp.zeros(6, tp.dtype), tp, nrm, ok)
+            weights = optimization.robust_weights(gn_scheme, res, gn_sigma,
+                                                  sq_dists=sq_d, eps=gn_eps)
+            dx, loss, singular = optimization.gauss_newton_step(res, jac, weights)
+
+            delta_norm = jnp.linalg.norm(dx)
+            apply = (delta_norm >= threshold_delta_pose) & (~singular)
+            delta_mat = se3.build_pose_matrix(dx[None])[0]
+            new_t = se3.normalize_pose_matrix((delta_mat @ t)[None])[0]
+            t_out = jnp.where(apply, new_t, t)
+            return (t_out, timg0, t_round, delta_norm, it + 1, loss,
+                    jnp.sum(ok).astype(jnp.int32))
+
+        def cond(carry):
+            _, _, _, delta_norm, it, _, _ = carry
+            return (it < max_num_alignments) & (delta_norm >= threshold_delta_pose)
+
+        zeros_img = jnp.zeros((h, w, 3), tgt_pts.dtype)
+        init = (t_init, zeros_img, t_init, jnp.array(jnp.inf, tgt_pts.dtype),
+                jnp.array(0, jnp.int32), jnp.array(0.0, tgt_pts.dtype),
+                jnp.array(0, jnp.int32))
+        t, _, _, _, it, loss, matches = jax.lax.while_loop(cond, body, init)
+        return t, it, loss, matches
+
+    def step(state: AggMapState, delta_since_update: jnp.ndarray,
+             points: jnp.ndarray, mask: jnp.ndarray, init_rpose: jnp.ndarray):
+        """Full frame: register + thresholded insert.  Returns
+        (state', delta', rpose, pose_params, diagnostics)."""
+        t_init = state.anchor_from_cur @ init_rpose
+        t_final, it, loss, matches = register(state, points, mask, t_init)
+
+        # Relative pose new -> previous frame
+        rpose = se3.inverse_pose_matrix(state.anchor_from_cur[None])[0] @ t_final
+        pose_params = se3.from_pose_matrix(rpose[None])[0]
+
+        new_delta = delta_since_update @ rpose
+        d_params = se3.from_pose_matrix(new_delta[None])[0]
+        insert = (jnp.linalg.norm(d_params[:3]) > threshold_trans) | \
+                 (jnp.linalg.norm(d_params[3:]) * 180.0 / math.pi > threshold_rot)
+
+        def do_insert(st):
+            vmap, nmap, rimg = build_scan_images(points, mask, proj, nks)
+            # new anchor = the new frame; old anchor -> new frame transform:
+            new_from_old = se3.inverse_pose_matrix(t_final[None])[0]
+            return insert_scan(st, vmap, nmap, rimg, new_from_old, proj, max_age)
+
+        def no_insert(st):
+            return st._replace(anchor_from_cur=t_final)
+
+        state = jax.lax.cond(insert, do_insert, no_insert, state)
+        delta_out = jnp.where(insert, jnp.eye(4, dtype=new_delta.dtype), new_delta)
+        return state, delta_out, rpose, pose_params, (loss, it, matches, insert)
+
+    def first_frame(state: AggMapState, points: jnp.ndarray, mask: jnp.ndarray):
+        vmap, nmap, rimg = build_scan_images(points, mask, proj, nks)
+        return insert_scan(state, vmap, nmap, rimg,
+                           jnp.eye(4, dtype=points.dtype), proj, max_age)
+
+    return (jax.jit(step, donate_argnums=(0,)),
+            jax.jit(first_frame, donate_argnums=(0,)))

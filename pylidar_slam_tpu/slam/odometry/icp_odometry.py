@@ -83,6 +83,8 @@ class ICPFrameToModelConfig(OdometryConfig):
 
     # TPU-specific: static padded point capacity for raw point-cloud inputs.
     num_points_padded: int = 131072
+    # Aggregated-map mode: re-rasterize the target every N ICP iterations.
+    reassoc_every: int = 3
 
 
 class ICPStepResult(NamedTuple):
@@ -216,23 +218,42 @@ class ICPFrameToModel:
         assert_debug(projector is not None, "ICP odometry requires a projector")
         self.projector = projector
 
-        lm_cfg = dataclass_from_dict(
-            lm.ProjectiveLocalMapConfig, config.local_map
-            if isinstance(config.local_map, dict) else None)
+        lm_dict = config.local_map if isinstance(config.local_map, dict) else {}
+        self._mode = lm_dict.get("type", "projective_local_map")
         align_cfg = config.alignment if isinstance(config.alignment, dict) else {}
         gn_cfg = dataclass_from_dict(
             GaussNewtonConfig, align_cfg.get("gauss_newton_config", {}))
 
-        self.local_map_size = int(lm_cfg.local_map_size)
-        self._step, self._first, self._build_vmap = make_icp_frame_step(
-            proj=projector,
-            max_num_alignments=int(config.max_num_alignments),
-            threshold_delta_pose=float(config.threshold_delta_pose),
-            threshold_trans=float(config.threshold_trans),
-            threshold_rot=float(config.threshold_rot),
-            gn=gn_cfg,
-            normals_kernel_size=int(lm_cfg.normals_kernel_size),
-        )
+        if self._mode == "aggregated_local_map":
+            from pylidar_slam_tpu.slam.odometry import aggregated_map as am
+            agg_cfg = dataclass_from_dict(am.AggregatedLocalMapConfig, lm_dict)
+            self.local_map_size = int(agg_cfg.local_map_size)
+            self._agg_cfg = agg_cfg
+            self._step, self._first = am.make_agg_icp_frame_step(
+                proj=projector,
+                map_cfg=agg_cfg,
+                max_num_alignments=int(config.max_num_alignments),
+                reassoc_every=int(getattr(config, "reassoc_every", 3) or 3),
+                threshold_delta_pose=float(config.threshold_delta_pose),
+                threshold_trans=float(config.threshold_trans),
+                threshold_rot=float(config.threshold_rot),
+                gn_scheme=gn_cfg.scheme,
+                gn_sigma=float(gn_cfg.sigma),
+                gn_eps=float(gn_cfg.eps),
+            )
+            self._build_vmap = None
+        else:
+            lm_cfg = dataclass_from_dict(lm.ProjectiveLocalMapConfig, lm_dict)
+            self.local_map_size = int(lm_cfg.local_map_size)
+            self._step, self._first, self._build_vmap = make_icp_frame_step(
+                proj=projector,
+                max_num_alignments=int(config.max_num_alignments),
+                threshold_delta_pose=float(config.threshold_delta_pose),
+                threshold_trans=float(config.threshold_trans),
+                threshold_rot=float(config.threshold_rot),
+                gn=gn_cfg,
+                normals_kernel_size=int(lm_cfg.normals_kernel_size),
+            )
 
         self._map_state: Optional[lm.ProjectiveMapState] = None
         self._delta_since_update: Optional[jnp.ndarray] = None
@@ -250,7 +271,11 @@ class ICPFrameToModel:
     def init(self):
         k = self.local_map_size
         h, w = self.projector.height, self.projector.width
-        self._map_state = init_projective_map(k, h, w)
+        if self._mode == "aggregated_local_map":
+            from pylidar_slam_tpu.slam.odometry import aggregated_map as am
+            self._map_state = am.init_agg_map(h, w)
+        else:
+            self._map_state = init_projective_map(k, h, w)
         self._delta_since_update = jnp.eye(4, dtype=jnp.float32)
         self._params_log = []
         self._iter = 0
@@ -294,6 +319,32 @@ class ICPFrameToModel:
         padded, mask = self._pad_points(arr)
         return self._build_vmap(jnp.asarray(padded), jnp.asarray(mask))
 
+    def _read_points(self, data_dict: dict):
+        """Reads the input as a padded (N, 3) device cloud + validity mask."""
+        key = self.config.data_key
+        assert_debug(key in data_dict,
+                     f"Could not find the key `{key}` in the input dictionary "
+                     f"(keys: {list(data_dict.keys())}).")
+        data = data_dict[key]
+        if isinstance(data, jnp.ndarray) and data.ndim == 3:
+            arr3 = data
+            if arr3.shape[0] == 3:
+                arr3 = jnp.transpose(arr3, (1, 2, 0))
+            pts = jnp.nan_to_num(arr3.reshape(-1, 3).astype(jnp.float32))
+            mask = jnp.max(jnp.abs(pts), axis=-1) > 0
+            return pts, mask
+        arr = np.asarray(data)
+        if arr.ndim == 3:
+            if arr.shape[0] == 3:
+                arr = arr.transpose(1, 2, 0)
+            pts = jnp.nan_to_num(jnp.asarray(arr.reshape(-1, 3), dtype=jnp.float32))
+            mask = jnp.max(jnp.abs(pts), axis=-1) > 0
+            return pts, mask
+        assert_debug(arr.ndim == 2 and arr.shape[1] >= 3,
+                     f"Cannot interpret data under '{key}' with shape {arr.shape}")
+        padded, mask = self._pad_points(arr)
+        return jnp.asarray(padded), jnp.asarray(mask)
+
     @staticmethod
     def pointcloud_key() -> str:
         return "odometry_pc"
@@ -305,6 +356,8 @@ class ICPFrameToModel:
     # -- main ---------------------------------------------------------------
 
     def process_next_frame(self, data_dict: dict):
+        if self._mode == "aggregated_local_map":
+            return self._process_next_frame_agg(data_dict)
         vmap = self._read_input(data_dict)
 
         if self._iter == 0:
@@ -334,6 +387,37 @@ class ICPFrameToModel:
         # (loop closure / backend) convert on demand.
         data_dict[self.relative_pose_key()] = result.pose_matrix
         data_dict[self.pointcloud_key()] = vmap  # device array, fetched lazily
+        self._iter += 1
+
+    def _process_next_frame_agg(self, data_dict: dict):
+        points, mask = self._read_points(data_dict)
+
+        if self._iter == 0:
+            self._map_state = self._first(self._map_state, points, mask)
+            self.last_rpose_device = jnp.eye(4, dtype=jnp.float32)
+            self._params_log.append(jnp.zeros(6, dtype=jnp.float32))
+            self._iter += 1
+            data_dict[self.relative_pose_key()] = self.last_rpose_device
+            return
+
+        init_np = data_dict.get("init_rpose", None)
+        if init_np is None:
+            init_pose = jnp.eye(4, dtype=jnp.float32)
+        elif isinstance(init_np, jnp.ndarray):
+            init_pose = init_np.astype(jnp.float32)
+        else:
+            init_pose = jnp.asarray(np.asarray(init_np), dtype=jnp.float32)
+
+        (self._map_state, self._delta_since_update, rpose, pose_params,
+         diag) = self._step(self._map_state, self._delta_since_update,
+                            points, mask, init_pose)
+        loss, it, matches, inserted = diag
+        self.last_rpose_device = rpose
+        self.last_result = ICPStepResult(pose_params, rpose, loss, it,
+                                         matches, inserted)
+        self._params_log.append(pose_params)
+        data_dict[self.relative_pose_key()] = rpose
+        data_dict[self.pointcloud_key()] = points
         self._iter += 1
 
     def fetch_params_log(self) -> Optional[np.ndarray]:
