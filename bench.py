@@ -26,8 +26,11 @@ import numpy as np
 
 REFERENCE_SCANS_PER_SEC = 1000.0 / 187.256  # 5.34 scans/s (BASELINE.md)
 
-NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "60"))
-WARMUP = int(os.environ.get("BENCH_WARMUP", "10"))
+# Defaults keep the timed region aligned to full device batches (batch=8):
+# warmup = first frame + one full batch; timed = 6 batches.
+NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "57"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "9"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
 
 def load_frames():
@@ -68,6 +71,7 @@ def main():
                                            "sigma": 0.3, "max_iters": 1}},
         num_points_padded=131072,
         data_key="numpy_pc",
+        batch_size=BATCH,
     )
     odom = ICPFrameToModel(icp_cfg, projector=proj)
     odom.init()

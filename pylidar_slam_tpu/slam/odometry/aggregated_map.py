@@ -242,7 +242,8 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                             threshold_rot: float,
                             gn_scheme: str,
                             gn_sigma: float,
-                            gn_eps: float = 1.0e-4):
+                            gn_eps: float = 1.0e-4,
+                            upload_quantization: float = 0.0):
     """Builds the jitted per-frame step for the aggregated-map odometry.
 
     Iteration structure: `max_num_alignments` GN iterations; the target is
@@ -256,6 +257,12 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
     wr, wc = int(map_cfg.window_rows), int(map_cfg.window_cols)
     max_nd = float(map_cfg.max_neighbor_dist)
     nks = int(map_cfg.normals_kernel_size)
+
+    def dequant(points: jnp.ndarray) -> jnp.ndarray:
+        """Expands int16-quantized uploads back to float32 meters."""
+        if points.dtype == jnp.int16:
+            return points.astype(jnp.float32) * upload_quantization
+        return points
 
     def register(state: AggMapState, tgt_pts: jnp.ndarray,
                  tgt_mask: jnp.ndarray, t_init: jnp.ndarray):
@@ -320,6 +327,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
              points: jnp.ndarray, mask: jnp.ndarray, init_rpose: jnp.ndarray):
         """Full frame: register + thresholded insert.  Returns
         (state', delta', rpose, pose_params, diagnostics)."""
+        points = dequant(points)
         t_init = state.anchor_from_cur @ init_rpose
         t_final, it, loss, matches = register(state, points, mask, t_init)
 
@@ -346,9 +354,34 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
         return state, delta_out, rpose, pose_params, (loss, it, matches, insert)
 
     def first_frame(state: AggMapState, points: jnp.ndarray, mask: jnp.ndarray):
+        points = dequant(points)
         vmap, nmap, rimg = build_scan_images(points, mask, proj, nks)
         return insert_scan(state, vmap, nmap, rimg,
                            jnp.eye(4, dtype=points.dtype), proj, max_age)
 
+    def batch_step(state: AggMapState, delta_since_update: jnp.ndarray,
+                   last_rpose: jnp.ndarray,
+                   points_batch: jnp.ndarray, masks_batch: jnp.ndarray):
+        """Processes B frames in ONE device execution (lax.scan).
+
+        Constant-velocity initialization chains on device: frame i's prior is
+        frame i-1's estimated relative pose.  Amortizes the per-execution
+        dispatch overhead (~2.7 ms measured) over the batch.
+
+        Returns (state', delta', last_rpose', params (B, 6), diagnostics).
+        """
+
+        def scan_body(carry, frame):
+            st, delta, prev_rpose = carry
+            pts, msk = frame
+            st, delta, rpose, params, diag = step(st, delta, pts, msk, prev_rpose)
+            return (st, delta, rpose), (params, diag)
+
+        (state, delta, rpose), (params, diags) = jax.lax.scan(
+            scan_body, (state, delta_since_update, last_rpose),
+            (points_batch, masks_batch))
+        return state, delta, rpose, params, diags
+
     return (jax.jit(step, donate_argnums=(0,)),
-            jax.jit(first_frame, donate_argnums=(0,)))
+            jax.jit(first_frame, donate_argnums=(0,)),
+            jax.jit(batch_step, donate_argnums=(0,)))
