@@ -89,6 +89,60 @@ class ConstantVelocityInitialization(Initialization):
         self.initial_estimate = relative_pose
 
 
+@dataclass
+class PNConfig(InitializationConfig):
+    """PoseNet initialization: a trained checkpoint provides the motion prior
+    (reference initialization.py:205-282)."""
+    type: str = "posenet"
+    train_dir: str = MISSING
+    checkpoint_file: str = "checkpoint.ckp"
+    train_config_file: str = "config.yaml"
+    num_points_padded: int = 131072
+
+
+class PoseNetInitialization(Initialization):
+    """Regresses the prior from the previous+current scans via PoseNet."""
+
+    def __init__(self, config: PNConfig, projector=None, **kwargs):
+        super().__init__(config)
+        from pylidar_slam_tpu.slam.odometry.posenet_odometry import _PoseNetInference
+        self.inference = _PoseNetInference(
+            str(config.train_dir), config.train_config_file,
+            config.checkpoint_file, projector)
+        self._prev = None
+        self._cap = int(config.num_points_padded)
+
+    def init(self):
+        self._prev = None
+
+    def _pad(self, points: np.ndarray):
+        import jax.numpy as jnp
+        pts = points[:, :3].astype(np.float32)
+        pts = pts[~np.isnan(pts).any(axis=1)]
+        n = min(len(pts), self._cap)
+        out = np.zeros((self._cap, 3), np.float32)
+        msk = np.zeros((self._cap,), bool)
+        out[:n] = pts[:n]
+        msk[:n] = True
+        return jnp.asarray(out), jnp.asarray(msk)
+
+    def next_initial_pose(self, data_dict: Optional[dict] = None, **kwargs):
+        key = "numpy_pc" if "numpy_pc" in data_dict else "vertex_map"
+        data = np.asarray(data_dict[key])
+        if data.ndim == 3:
+            if data.shape[0] == 3:
+                data = data.transpose(1, 2, 0)
+            data = data.reshape(-1, 3)
+        pts, mask = self._pad(data)
+        if self._prev is None:
+            self._prev = (pts, mask)
+            return None
+        _, rpose = self.inference(self._prev[0], self._prev[1], pts, mask)
+        self._prev = (pts, mask)
+        return rpose  # device array; consumed directly by the jitted odometry
+
+
 INITIALIZATION = Registry("initialization", type_key="type")
 INITIALIZATION.register("ni", NoInitialization, NIConfig)
 INITIALIZATION.register("cv", ConstantVelocityInitialization, CVConfig)
+INITIALIZATION.register("posenet", PoseNetInitialization, PNConfig)

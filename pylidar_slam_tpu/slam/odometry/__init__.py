@@ -6,3 +6,4 @@ ODOMETRY = Registry("odometry", type_key="algorithm")
 
 # Import for registration side effects (after ODOMETRY exists).
 from pylidar_slam_tpu.slam.odometry import icp_odometry  # noqa: E402,F401
+from pylidar_slam_tpu.slam.odometry import posenet_odometry  # noqa: E402,F401
