@@ -1,0 +1,152 @@
+"""Bird's-eye-view elevation images + dense (x, y, yaw) registration (JAX).
+
+The reference's 2D registration extracts sparse AKAZE/ORB features from a
+matplotlib-colored elevation image and RANSACs a rigid fit with OpenCV
+(slam/common/registration.py:88-274).  Sparse feature matching maps poorly to
+TPUs; the same capability here is dense and FFT-based:
+
+* elevation image: scatter-max of z over a metric (x, y) grid (the same
+  encoded scatter-min machinery as the spherical rasterizer, negated);
+* rotation: a yaw sweep of bilinear-warped images scored by FFT phase
+  correlation (each candidate yaw is one batched FFT correlation - a dense,
+  batchable workload);
+* translation: the phase-correlation peak at the best yaw, to pixel
+  resolution, refined by quadratic interpolation around the peak.
+
+Used by the elevation-image loop closure and the EI initialization prior.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pylidar_slam_tpu.ops import voxel
+
+
+def build_elevation_image(points: jnp.ndarray,
+                          mask: Optional[jnp.ndarray],
+                          pixel_size: float,
+                          size: int,
+                          z_min: float = -3.0,
+                          z_max: float = 5.0) -> jnp.ndarray:
+    """(N, 3) points -> (size, size) max-elevation image centered at origin.
+
+    Empty pixels are 0; occupied pixels hold (z_clip - z_min) / (z_max-z_min)
+    in (0, 1] (shifted so that emptiness is distinguishable).
+    """
+    n = points.shape[0]
+    half = size * pixel_size / 2.0
+    xs = points[:, 0]
+    ys = points[:, 1]
+    zs = jnp.clip(points[:, 2], z_min, z_max)
+
+    cols = jnp.floor((xs + half) / pixel_size).astype(jnp.int32)
+    rows = jnp.floor((ys + half) / pixel_size).astype(jnp.int32)
+    valid = (cols >= 0) & (cols < size) & (rows >= 0) & (rows < size)
+    if mask is not None:
+        valid = valid & mask
+    flat = jnp.where(valid, rows * size + cols, size * size)
+
+    neg_inf = jnp.array(-jnp.inf, zs.dtype)
+    zmax_img = jnp.full((size * size + 1,), neg_inf).at[flat].max(
+        jnp.where(valid, zs, neg_inf), mode="drop")[: size * size]
+    hit = jnp.isfinite(zmax_img)
+    norm = (zmax_img - z_min) / (z_max - z_min)
+    img = jnp.where(hit, 0.05 + 0.95 * jnp.clip(norm, 0.0, 1.0), 0.0)
+    return img.reshape(size, size)
+
+
+def _rotate_image(image: jnp.ndarray, yaw: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear rotation of a square image about its center."""
+    s = image.shape[0]
+    c = (s - 1) / 2.0
+    ii, jj = jnp.meshgrid(jnp.arange(s, dtype=image.dtype),
+                          jnp.arange(s, dtype=image.dtype), indexing="ij")
+    cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
+    # inverse-rotate output coords to source coords
+    y = ii - c
+    x = jj - c
+    src_y = cos_y * y + sin_y * x + c
+    src_x = -sin_y * y + cos_y * x + c
+    return jax.scipy.ndimage.map_coordinates(image, [src_y, src_x], order=1,
+                                             mode="constant", cval=0.0)
+
+
+def phase_correlation(img_a: jnp.ndarray, img_b: jnp.ndarray):
+    """Translation (dy, dx) such that shifting img_b by it aligns with img_a.
+
+    Returns (dy, dx, score): peak location (subpixel via 3-point quadratic)
+    and normalized peak height.
+    """
+    s = img_a.shape[0]
+    fa = jnp.fft.rfft2(img_a)
+    fb = jnp.fft.rfft2(img_b)
+    cross = fa * jnp.conj(fb)
+    cross = cross / jnp.maximum(jnp.abs(cross), 1e-9)
+    corr = jnp.fft.irfft2(cross, s=img_a.shape)
+    peak = jnp.argmax(corr)
+    py, px = peak // s, peak % s
+
+    def subpixel(c_m, c_0, c_p):
+        denom = c_m - 2 * c_0 + c_p
+        return jnp.where(jnp.abs(denom) > 1e-9,
+                         0.5 * (c_m - c_p) / denom, 0.0)
+
+    dy_off = subpixel(corr[(py - 1) % s, px], corr[py, px], corr[(py + 1) % s, px])
+    dx_off = subpixel(corr[py, (px - 1) % s], corr[py, px], corr[py, (px + 1) % s])
+    # unwrap: shifts beyond s/2 are negative
+    dy = jnp.where(py > s // 2, py - s, py).astype(img_a.dtype) + dy_off
+    dx = jnp.where(px > s // 2, px - s, px).astype(img_a.dtype) + dx_off
+    score = corr[py, px]
+    return dy, dx, score
+
+
+class BEVRegistrationResult(NamedTuple):
+    yaw: jnp.ndarray  # () best yaw (rad), rotation of b into a
+    dy: jnp.ndarray  # () row shift in pixels
+    dx: jnp.ndarray  # () col shift in pixels
+    score: jnp.ndarray  # () phase-correlation peak height
+
+
+def register_bev(img_a: jnp.ndarray, img_b: jnp.ndarray,
+                 num_yaw_steps: int = 60,
+                 yaw_range: float = math.pi) -> BEVRegistrationResult:
+    """Finds (yaw, dy, dx) aligning img_b to img_a by exhaustive yaw sweep +
+    phase correlation per candidate (vmapped: one batched FFT stack)."""
+    yaws = jnp.linspace(-yaw_range, yaw_range, num_yaw_steps, endpoint=False)
+
+    def try_yaw(yaw):
+        rotated = _rotate_image(img_b, yaw)
+        dy, dx, score = phase_correlation(img_a, rotated)
+        return dy, dx, score
+
+    dys, dxs, scores = jax.vmap(try_yaw)(yaws)
+    best = jnp.argmax(scores)
+    return BEVRegistrationResult(yaw=yaws[best], dy=dys[best], dx=dxs[best],
+                                 score=scores[best])
+
+
+def bev_transform_to_se3(result: BEVRegistrationResult,
+                         pixel_size: float) -> jnp.ndarray:
+    """Converts a BEV registration into a (4, 4) SE(3) transform (z = 0).
+
+    The returned T maps coordinates of cloud b into cloud a's frame
+    (rows = y, cols = x in build_elevation_image).  `_rotate_image` samples
+    with the inverse rotation, so the cloud-space angle is -yaw.
+    """
+    cos_y = jnp.cos(-result.yaw)
+    sin_y = jnp.sin(-result.yaw)
+    tx = result.dx * pixel_size
+    ty = result.dy * pixel_size
+    mat = jnp.eye(4, dtype=jnp.float32)
+    mat = mat.at[0, 0].set(cos_y)
+    mat = mat.at[0, 1].set(-sin_y)
+    mat = mat.at[1, 0].set(sin_y)
+    mat = mat.at[1, 1].set(cos_y)
+    mat = mat.at[0, 3].set(tx)
+    mat = mat.at[1, 3].set(ty)
+    return mat

@@ -90,6 +90,74 @@ class ConstantVelocityInitialization(Initialization):
 
 
 @dataclass
+class EIConfig(InitializationConfig):
+    """Elevation-image 2D motion prior (reference initialization.py:134-202,
+    OpenCV feature alignment replaced by dense BEV phase correlation)."""
+    type: str = "ei"
+    debug: bool = False
+    ni_if_failure: bool = False  # fall back to identity when matching fails
+    pixel_size: float = 0.3
+    im_size: int = 256
+    z_min: float = -3.0
+    z_max: float = 5.0
+    num_yaw_steps: int = 45
+    yaw_range: float = 0.35  # radians; inter-frame rotations are small
+    min_score: float = 0.05
+
+
+class ElevationImageInitialization(Initialization):
+    """2D (x, y, yaw) prior from registering consecutive BEV images."""
+
+    def __init__(self, config: EIConfig, **kwargs):
+        super().__init__(config)
+        self._prev_image = None
+        self._last_motion = np.eye(4)
+
+    def init(self):
+        self._prev_image = None
+        self._last_motion = np.eye(4)
+
+    def _image(self, points: np.ndarray):
+        import jax.numpy as jnp
+        from pylidar_slam_tpu.ops import bev
+        cfg = self.config
+        return bev.build_elevation_image(
+            jnp.asarray(points[:, :3], jnp.float32), None,
+            pixel_size=cfg.pixel_size, size=cfg.im_size,
+            z_min=cfg.z_min, z_max=cfg.z_max)
+
+    def next_initial_pose(self, data_dict: Optional[dict] = None, **kwargs):
+        import jax.numpy as jnp
+        from pylidar_slam_tpu.ops import bev
+        cfg = self.config
+        key = "numpy_pc" if "numpy_pc" in data_dict else "vertex_map"
+        data = np.asarray(data_dict[key])
+        if data.ndim == 3:
+            if data.shape[0] == 3:
+                data = data.transpose(1, 2, 0)
+            data = data.reshape(-1, 3)
+        image = self._image(data)
+        if self._prev_image is None:
+            self._prev_image = image
+            return None
+        # T maps current-frame coords into previous-frame coords = the
+        # relative pose prior the odometry expects.
+        result = bev.register_bev(self._prev_image, image,
+                                  num_yaw_steps=cfg.num_yaw_steps,
+                                  yaw_range=cfg.yaw_range)
+        self._prev_image = image
+        if float(result.score) < cfg.min_score:
+            return None if cfg.ni_if_failure else self._last_motion
+        estimate = np.asarray(bev.bev_transform_to_se3(result, cfg.pixel_size),
+                              dtype=np.float64)
+        self._last_motion = estimate
+        return estimate
+
+    def save_real_motion(self, relative_pose, data_dict: dict):
+        pass
+
+
+@dataclass
 class PNConfig(InitializationConfig):
     """PoseNet initialization: a trained checkpoint provides the motion prior
     (reference initialization.py:205-282)."""
@@ -146,3 +214,4 @@ INITIALIZATION = Registry("initialization", type_key="type")
 INITIALIZATION.register("ni", NoInitialization, NIConfig)
 INITIALIZATION.register("cv", ConstantVelocityInitialization, CVConfig)
 INITIALIZATION.register("posenet", PoseNetInitialization, PNConfig)
+INITIALIZATION.register("ei", ElevationImageInitialization, EIConfig)

@@ -1,0 +1,240 @@
+"""Elevation-image loop closure (capability match of reference
+slam/loop_closure.py:28-350, OpenCV/Open3D replaced by dense JAX kernels).
+
+Per frame: the odometry's aggregated cloud is grid-sampled and accumulated
+into submaps of `local_map_size` frames (overlap `overlap`).  When a submap
+completes, a BEV elevation image around its mid pose is built (scatter-max);
+candidates are persisted submaps within `max_distance` meters and at least
+`min_id_distance` frames apart; each candidate is matched by dense yaw-sweep
+phase correlation (ops/bev.py) and optionally refined with exact brute-force
+ICP (ops/icp3d.py); successful matches emit
+``se3_loop_closure_constraint_<i>_<j>`` into the data_dict.
+
+``update_positions`` rewrites the stored submap poses after a backend
+optimization (reference loop_closure.py:170-182).
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pylidar_slam_tpu.config import MISSING, Registry, dataclass_from_dict
+from pylidar_slam_tpu.ops import bev, icp3d, se3
+from pylidar_slam_tpu.slam.backend import Backend
+from pylidar_slam_tpu.slam.preprocessing import np_grid_sample
+from pylidar_slam_tpu.utils import assert_debug, check_tensor
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class LoopClosureConfig:
+    type: str = MISSING
+
+
+class LoopClosure:
+    def __init__(self, config: LoopClosureConfig, **kwargs):
+        self.config = config
+
+    def init(self):
+        self.clean()
+
+    def clean(self):
+        raise NotImplementedError("")
+
+    def process_next_frame(self, data_dict: dict):
+        raise NotImplementedError("")
+
+    def update_positions(self, trajectory: np.ndarray):
+        pass
+
+    @staticmethod
+    def pointcloud_key() -> str:
+        return "lc_pointcloud"
+
+    @staticmethod
+    def relative_pose_key() -> str:
+        return "lc_relative_pose"
+
+
+@dataclass
+class EILoopClosureConfig(LoopClosureConfig):
+    type: str = "elevation_image"
+    local_map_size: int = 50
+    overlap: int = 20
+    debug: bool = False
+    max_num_candidates: int = 10
+    max_distance: float = 100.0
+    min_id_distance: int = 200
+    stride: int = 1
+
+    icp_distance_threshold: float = 1.0
+    with_icp_refinement: bool = True
+    icp_num_points: int = 4096  # grid-sampled submap size for the refinement
+
+    # Dense BEV registration parameters (replaces ei_registration_config)
+    pixel_size: float = 0.2
+    im_size: int = 512
+    z_min: float = -3.0
+    z_max: float = 5.0
+    num_yaw_steps: int = 72
+    min_score: float = 0.10  # phase-correlation acceptance threshold
+
+
+class ElevationImageLoopClosure(LoopClosure):
+    def __init__(self, config: EILoopClosureConfig, **kwargs):
+        if not isinstance(config, EILoopClosureConfig):
+            config = dataclass_from_dict(EILoopClosureConfig, config)
+        super().__init__(config)
+        self.clean()
+
+    def clean(self):
+        self.current_frame_id = 0
+        self.last_inserted_pose = np.eye(4)
+        self.current_map_pcs: List[np.ndarray] = []
+        self.current_map_poses: List[np.ndarray] = []
+        self.current_map_frameids: List[int] = []
+        self.all_frames_absolute_poses: List[np.ndarray] = []
+        self.maps_absolute_poses = np.zeros((0, 4, 4))
+        self.maps_frame_ids: List[int] = []
+        self.saved_images: List[np.ndarray] = []
+        self.saved_clouds: List[np.ndarray] = []
+
+    # -- persistence of submap positions after optimization ------------------
+
+    def update_positions(self, trajectory: np.ndarray):
+        """Rewrites stored submap/mid poses from optimized absolute poses."""
+        n = trajectory.shape[0]
+        new_maps = []
+        for k, fid in enumerate(self.maps_frame_ids):
+            if fid < n:
+                new_maps.append(trajectory[fid])
+            else:
+                new_maps.append(self.maps_absolute_poses[k])
+        if new_maps:
+            self.maps_absolute_poses = np.stack(new_maps)
+        if self.current_frame_id - 1 < n:
+            self.last_inserted_pose = trajectory[
+                min(self.current_frame_id - 1, n - 1)].copy()
+
+    # -- submap machinery ----------------------------------------------------
+
+    def _subsample(self, cloud: np.ndarray, cap: int) -> np.ndarray:
+        sampled, _ = np_grid_sample(cloud, self.config.pixel_size * 2)
+        if len(sampled) > cap:
+            idx = np.linspace(0, len(sampled) - 1, cap).astype(int)
+            sampled = sampled[idx]
+        return sampled
+
+    def _build_image(self, aggregated: np.ndarray) -> np.ndarray:
+        cfg = self.config
+        img = bev.build_elevation_image(
+            jnp.asarray(aggregated, jnp.float32), None,
+            pixel_size=cfg.pixel_size, size=cfg.im_size,
+            z_min=cfg.z_min, z_max=cfg.z_max)
+        return np.asarray(img)
+
+    def _match_candidates(self, candidate_ids, image, submap_cloud,
+                          frame_id: int, data_dict: dict):
+        cfg = self.config
+        for candidate in candidate_ids:
+            cd_image = self.saved_images[candidate]
+            cd_frame_id = self.maps_frame_ids[candidate]
+            result = bev.register_bev(jnp.asarray(cd_image), jnp.asarray(image),
+                                      num_yaw_steps=cfg.num_yaw_steps)
+            score = float(result.score)
+            if score < cfg.min_score:
+                if cfg.debug:
+                    logger.info("Loop candidate %d rejected (score %.3f)",
+                                cd_frame_id, score)
+                continue
+            # T maps current-submap coords into candidate-submap coords
+            transform = np.asarray(bev.bev_transform_to_se3(
+                result, cfg.pixel_size), dtype=np.float64)
+
+            if cfg.with_icp_refinement:
+                cd_cloud = self.saved_clouds[candidate]
+                refined = icp3d.icp_align(
+                    jnp.asarray(submap_cloud, jnp.float32),
+                    jnp.asarray(cd_cloud, jnp.float32),
+                    init_transform=jnp.asarray(transform, jnp.float32),
+                    max_corr_dist=float(cfg.icp_distance_threshold))
+                transform = np.asarray(refined.transform, dtype=np.float64)
+
+            key = Backend.se3_loop_closure_constraint(cd_frame_id, frame_id)
+            logger.info("[LOOP CLOSURE] constraint between frames %d and %d "
+                        "(score %.3f)", cd_frame_id, frame_id, score)
+            data_dict[key] = (transform, None)
+
+    def process_next_frame(self, data_dict: dict):
+        cfg = self.config
+        if self.current_frame_id > 0:
+            assert_debug(self.relative_pose_key() in data_dict,
+                         f"Key `{self.relative_pose_key()}` required per frame")
+            relative_pose = np.asarray(data_dict[self.relative_pose_key()])
+        else:
+            relative_pose = np.eye(4)
+        self.last_inserted_pose = self.last_inserted_pose @ relative_pose
+
+        if self.pointcloud_key() not in data_dict:
+            self.current_frame_id += 1
+            return data_dict
+
+        pointcloud = np.asarray(data_dict[self.pointcloud_key()])
+        check_tensor(pointcloud, [-1, 3], np.ndarray)
+        pointcloud = self._subsample(pointcloud, cfg.icp_num_points)
+
+        if self.current_frame_id % cfg.stride == 0:
+            self.current_map_pcs.append(
+                se3.transform_pointcloud(pointcloud, self.last_inserted_pose))
+            self.current_map_poses.append(self.last_inserted_pose.copy())
+            self.current_map_frameids.append(self.current_frame_id)
+
+        if len(self.current_map_pcs) >= cfg.local_map_size:
+            mid = len(self.current_map_pcs) // 2
+            aggregated = np.concatenate(self.current_map_pcs, axis=0)
+            mid_pose = self.current_map_poses[mid]
+            mid_frame_id = self.current_map_frameids[mid]
+            aggregated = se3.transform_pointcloud(
+                aggregated, np.linalg.inv(mid_pose))
+            submap_cloud = self._subsample(aggregated, cfg.icp_num_points)
+
+            image = self._build_image(aggregated)
+
+            # Candidate search among persisted submaps
+            lm_id_distance = max(cfg.min_id_distance //
+                                 max(cfg.local_map_size - cfg.overlap, 1), 1)
+            if self.maps_absolute_poses.shape[0] > lm_id_distance:
+                cand_idx = np.arange(self.maps_absolute_poses.shape[0])[:-lm_id_distance]
+                cand_pos = self.maps_absolute_poses[:-lm_id_distance, :3, 3]
+                dists = np.linalg.norm(cand_pos - mid_pose[:3, 3], axis=1)
+                keep = dists < cfg.max_distance
+                cand_idx = cand_idx[keep]
+                dists = dists[keep]
+                if len(dists) > 0:
+                    order = np.argsort(dists)[:cfg.max_num_candidates]
+                    self._match_candidates(cand_idx[order], image, submap_cloud,
+                                           mid_frame_id, data_dict)
+
+            self.maps_absolute_poses = np.concatenate(
+                [self.maps_absolute_poses, mid_pose[None]], axis=0)
+            self.maps_frame_ids.append(mid_frame_id)
+            self.saved_images.append(image)
+            self.saved_clouds.append(submap_cloud)
+            self.all_frames_absolute_poses += self.current_map_poses[:-cfg.overlap]
+
+            self.current_map_pcs = self.current_map_pcs[-cfg.overlap:]
+            self.current_map_poses = self.current_map_poses[-cfg.overlap:]
+            self.current_map_frameids = self.current_map_frameids[-cfg.overlap:]
+
+        self.current_frame_id += 1
+        return data_dict
+
+
+LOOP_CLOSURE = Registry("loop_closure", type_key="type")
+LOOP_CLOSURE.register("elevation_image", ElevationImageLoopClosure,
+                      EILoopClosureConfig)

@@ -1,0 +1,111 @@
+"""BEV registration, brute-force ICP, and loop-closure module tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pylidar_slam_tpu.ops import bev, icp3d, se3
+
+
+def _structured_cloud(rng, n=3000):
+    """Ground + a few walls: enough BEV structure for registration."""
+    ground = np.stack([rng.uniform(-20, 20, n // 2), rng.uniform(-20, 20, n // 2),
+                       rng.normal(scale=0.05, size=n // 2) - 1.5], axis=1)
+    walls = []
+    for k in range(5):
+        cx, cy = rng.uniform(-15, 15, 2)
+        angle = rng.uniform(0, np.pi)
+        along = rng.uniform(-4, 4, n // 10)
+        z = rng.uniform(-1.5, 2.0, n // 10)
+        walls.append(np.stack([cx + along * np.cos(angle),
+                               cy + along * np.sin(angle), z], axis=1))
+    return np.concatenate([ground] + walls).astype(np.float32)
+
+
+def test_phase_correlation_pure_shift():
+    rng = np.random.default_rng(0)
+    img = rng.random((128, 128)).astype(np.float32)
+    img[40:60, 30:80] += 2.0
+    shifted = np.roll(img, (7, -12), axis=(0, 1))
+    dy, dx, score = bev.phase_correlation(jnp.asarray(shifted), jnp.asarray(img))
+    assert abs(float(dy) - 7) < 0.5 and abs(float(dx) + 12) < 0.5
+    assert float(score) > 0.3
+
+
+def test_register_bev_recovers_known_transform():
+    rng = np.random.default_rng(1)
+    cloud = _structured_cloud(rng)
+    yaw_gt, tx_gt, ty_gt = 0.35, 2.0, -1.5
+    c, s = np.cos(yaw_gt), np.sin(yaw_gt)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    moved = cloud @ rot.T + np.array([tx_gt, ty_gt, 0], np.float32)
+
+    img_a = bev.build_elevation_image(jnp.asarray(moved), None, 0.25, 256)
+    img_b = bev.build_elevation_image(jnp.asarray(cloud), None, 0.25, 256)
+    result = bev.register_bev(img_a, img_b, num_yaw_steps=90)
+    mat = np.asarray(bev.bev_transform_to_se3(result, 0.25))
+
+    # T maps cloud (b) coords into moved (a) coords
+    recovered = cloud[:200] @ mat[:3, :3].T + mat[:3, 3]
+    err = np.linalg.norm(recovered - moved[:200], axis=1).mean()
+    assert err < 0.5, f"BEV registration error {err}"
+
+
+def test_brute_force_nn_exact():
+    rng = np.random.default_rng(2)
+    refs = rng.normal(size=(500, 3)).astype(np.float32)
+    queries = rng.normal(size=(64, 3)).astype(np.float32)
+    idx, sq_d = icp3d.brute_force_nn(jnp.asarray(queries), jnp.asarray(refs),
+                                     chunk=128)
+    d_full = ((queries[:, None] - refs[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), d_full.argmin(1))
+    np.testing.assert_allclose(np.asarray(sq_d), d_full.min(1), rtol=1e-4)
+
+
+def test_icp_align_recovers_transform():
+    rng = np.random.default_rng(3)
+    cloud = _structured_cloud(rng, 2000)
+    params = jnp.asarray([0.4, -0.3, 0.05, 0.01, -0.02, 0.08], jnp.float32)
+    gt = se3.build_pose_matrix(params[None])[0]
+    target = np.asarray(se3.apply_transformation(
+        jnp.asarray(cloud)[None], gt[None])[0])
+    result = icp3d.icp_align(jnp.asarray(cloud), jnp.asarray(target),
+                             max_iters=30, max_corr_dist=2.0)
+    np.testing.assert_allclose(np.asarray(result.transform), np.asarray(gt),
+                               atol=0.02)
+
+
+def test_loop_closure_emits_constraint_on_revisit():
+    """A trajectory that returns to its start must produce a loop constraint."""
+    from pylidar_slam_tpu.slam.loop_closure import (EILoopClosureConfig,
+                                                    ElevationImageLoopClosure)
+    rng = np.random.default_rng(4)
+    world = _structured_cloud(rng, 4000)
+
+    cfg = EILoopClosureConfig(local_map_size=5, overlap=2, min_id_distance=10,
+                              im_size=256, pixel_size=0.25, num_yaw_steps=45,
+                              with_icp_refinement=True, icp_num_points=2048,
+                              min_score=0.05)
+    lc = ElevationImageLoopClosure(cfg)
+    lc.init()
+
+    # Loop trajectory: forward 10 frames, return to start
+    constraint_keys = []
+    n_frames = 30
+    for k in range(n_frames):
+        t = k / (n_frames - 1)
+        angle = 2 * np.pi * t
+        pos = np.array([3 * np.sin(angle), 1.5 * (1 - np.cos(angle)), 0.0])
+        pose = np.eye(4)
+        pose[:3, 3] = pos
+        # observed cloud = world in sensor frame
+        local = world - pos[None, :]
+        if k == 0:
+            rel = np.eye(4)
+        else:
+            rel = np.linalg.inv(prev_pose) @ pose
+        prev_pose = pose
+        d = {lc.relative_pose_key(): rel, lc.pointcloud_key(): local}
+        lc.process_next_frame(d)
+        constraint_keys += [key for key in d if key.startswith("se3_loop_closure")]
+
+    assert len(constraint_keys) > 0, "no loop closure constraint emitted"
