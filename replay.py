@@ -1,0 +1,71 @@
+"""Deterministic re-run of a previous SLAM execution (reference replay.py).
+
+    python replay.py --root_dir .outputs/slam/<run> --sequence 00 \
+        [--start_index 0] [--num_frames -1] [overrides...]
+
+Loads the saved ``config.yaml`` of a previous run, applies optional
+overrides, pins the sequence, windows the dataset, and re-runs the SLAM loop
+without the runner's evaluation -- for debugging specific frames.
+"""
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from pylidar_slam_tpu.config import _deep_set, _parse_scalar, dataclass_from_dict
+from pylidar_slam_tpu.dataset import DATASET
+from pylidar_slam_tpu.dataset.configuration import WindowDataset
+from pylidar_slam_tpu.slam.slam import SLAM, SLAMConfig
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root_dir", required=True,
+                        help="A previous run directory containing config.yaml")
+    parser.add_argument("--sequence", required=True)
+    parser.add_argument("--start_index", type=int, default=0)
+    parser.add_argument("--num_frames", type=int, default=-1)
+    parser.add_argument("overrides", nargs="*", default=[])
+    args = parser.parse_args(argv)
+
+    config_path = Path(args.root_dir) / "config.yaml"
+    assert config_path.exists(), f"No config.yaml under {args.root_dir}"
+    with open(config_path) as f:
+        saved = yaml.safe_load(f)
+    cfg = saved["config"] if "config" in saved else saved
+
+    for override in args.overrides:
+        key, value = override.split("=", 1)
+        _deep_set(cfg, key, _parse_scalar(value))
+
+    dataset_loader = DATASET.load(dict(cfg["dataset"]))
+    (datasets, names), _, _, _ = dataset_loader.sequences()
+    assert args.sequence in names, f"Unknown sequence {args.sequence} ({names})"
+    dataset = datasets[names.index(args.sequence)]
+    length = args.num_frames if args.num_frames > 0 else len(dataset) - args.start_index
+    window = WindowDataset(dataset, args.start_index, length)
+
+    slam = SLAM(dataclass_from_dict(SLAMConfig, dict(cfg["slam"])),
+                projector=dataset_loader.projector(),
+                pose=cfg.get("pose", "euler"))
+    slam.init()
+    for i in range(len(window)):
+        slam.process_next_frame(window[i])
+        if (i + 1) % 50 == 0:
+            logging.info("replayed %d / %d frames", i + 1, len(window))
+
+    relative = slam.get_relative_poses()
+    out_file = Path(args.root_dir) / f"replay_{args.sequence}.poses.txt"
+    np.savetxt(str(out_file), relative[:, :3, :].reshape(len(relative), 12))
+    logging.info("Replay done: %d poses -> %s", len(relative), out_file)
+    return relative
+
+
+if __name__ == "__main__":
+    main()

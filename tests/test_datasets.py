@@ -1,0 +1,128 @@
+"""Dataset reader tests with synthetic on-disk fixtures (no real data needed)."""
+import numpy as np
+import pytest
+
+from pylidar_slam_tpu.dataset import DATASET
+
+
+def test_all_datasets_registered():
+    expected = {"kitti", "kitti_360", "nclt", "nhcd", "ford_campus", "rosbag",
+                "urban_loco", "synthetic"}
+    assert expected.issubset(set(DATASET.keys()))
+
+
+def test_pcd_round_trip(tmp_path):
+    from pylidar_slam_tpu.dataset.pcd_io import read_pcd, write_pcd
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    for binary in (True, False):
+        path = tmp_path / f"cloud_{binary}.pcd"
+        write_pcd(str(path), pts, binary=binary)
+        back = read_pcd(str(path))
+        np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_rosbag_round_trip(tmp_path):
+    from pylidar_slam_tpu.dataset.rosbag_reader import (
+        BagReader, decode_pointcloud2, encode_pointcloud2, write_simple_bag)
+    rng = np.random.default_rng(1)
+    clouds = [rng.normal(size=(200, 3)).astype(np.float32) for _ in range(3)]
+    messages = [(int(1e9 * (i + 1)), encode_pointcloud2(c, stamp_s=i + 1.0))
+                for i, c in enumerate(clouds)]
+    bag_path = tmp_path / "test.bag"
+    write_simple_bag(str(bag_path), "/velodyne_points", messages)
+
+    reader = BagReader(str(bag_path))
+    decoded = []
+    for topic, msg_type, time_ns, raw in reader.messages():
+        assert topic == "/velodyne_points"
+        assert msg_type == "sensor_msgs/PointCloud2"
+        decoded.append(decode_pointcloud2(raw))
+    assert len(decoded) == 3
+    for c, d in zip(clouds, decoded):
+        np.testing.assert_allclose(d["xyz"], c, atol=1e-6)
+
+
+def test_rosbag_dataset_sequential(tmp_path):
+    from pylidar_slam_tpu.dataset.rosbag_reader import (encode_pointcloud2,
+                                                        write_simple_bag)
+    from pylidar_slam_tpu.dataset.rosbag_dataset import (RosbagConfig,
+                                                         RosbagDatasetLoader)
+    rng = np.random.default_rng(2)
+    messages = [(int(1e9 * (i + 1)),
+                 encode_pointcloud2(rng.normal(size=(100, 3)).astype(np.float32)))
+                for i in range(4)]
+    bag_path = tmp_path / "seq.bag"
+    write_simple_bag(str(bag_path), "/points", messages)
+
+    loader = RosbagDatasetLoader(RosbagConfig(
+        file_path=str(bag_path), main_topic="/points", frame_size=2))
+    (datasets, names), _, _, _ = loader.sequences()
+    ds = datasets[0]
+    d0 = ds[0]
+    assert d0["numpy_pc"].shape == (200, 3)
+    d1 = ds[1]
+    assert d1["numpy_pc"].shape == (200, 3)
+    # sequential access enforced
+    with pytest.raises(Exception):
+        _ = ds[5]
+
+
+def test_nclt_binary_round_trip(tmp_path):
+    from pylidar_slam_tpu.dataset.nclt_dataset import read_velodyne_file
+    # encode points into NCLT int16 format: v = (x + 100) / 0.005
+    pts = np.array([[1.0, 2.0, -1.5], [30.0, -20.0, 3.0]], np.float32)
+    raw_x = ((pts[:, 0] + 100) / 0.005).astype(np.int16)
+    raw_y = ((-pts[:, 1] + 100) / 0.005).astype(np.int16)  # y flip
+    raw_z = ((-pts[:, 2] + 100) / 0.005).astype(np.int16)  # z flip
+    refl = np.zeros(2, np.int16)
+    interleaved = np.stack([raw_x, raw_y, raw_z, refl], axis=1).reshape(-1)
+    path = tmp_path / "scan.bin"
+    interleaved.tofile(str(path))
+    back = read_velodyne_file(str(path))
+    np.testing.assert_allclose(back, pts, atol=0.01)
+
+
+def test_urban_loco_geodesy():
+    from pylidar_slam_tpu.dataset.urban_loco_dataset import (ecef_to_enu,
+                                                             llu_to_ecef)
+    # A point 1 degree north of the origin is ~111 km north in ENU
+    origin = np.array([114.0, 22.0, 0.0])  # lon, lat, alt (Hong Kong-ish)
+    north = np.array([114.0, 23.0, 0.0])
+    enu = ecef_to_enu(origin, llu_to_ecef(north))
+    assert abs(enu[0]) < 1000
+    assert 109000 < enu[1] < 112000
+
+    east = np.array([115.0, 22.0, 0.0])
+    enu_e = ecef_to_enu(origin, llu_to_ecef(east))
+    assert 100000 < enu_e[0] < 105000  # ~103 km at lat 22
+
+
+def test_urban_loco_ring_ids():
+    from pylidar_slam_tpu.dataset.urban_loco_dataset import compute_ring_ids
+    unique = np.array([10, 20, 30])
+    theta_bins = np.array([20, 10, 30, 20, 99])
+    rings = compute_ring_ids(theta_bins, unique)
+    np.testing.assert_array_equal(rings, [1, 0, 2, 1, -1])
+
+
+def test_kitti_calib_parsing(tmp_path):
+    from pylidar_slam_tpu.dataset.kitti_dataset import (correct_scan,
+                                                        read_calib_file)
+    calib = tmp_path / "calib.txt"
+    calib.write_text("P0: 1 0 0 0 0 1 0 0 0 0 1 0\n"
+                     "Tr: 1 0 0 0.1 0 1 0 0.2 0 0 1 0.3\n")
+    parsed = read_calib_file(str(calib))
+    assert "Tr" in parsed and len(parsed["Tr"]) == 12
+
+    rng = np.random.default_rng(3)
+    scan = rng.normal(size=(100, 4)).astype(np.float32) * 10
+    corrected = correct_scan(scan)
+    # rotation preserves norms
+    np.testing.assert_allclose(np.linalg.norm(corrected, axis=1),
+                               np.linalg.norm(scan[:, :3], axis=1), rtol=1e-4)
+    # rotation angle is exactly 0.205 degrees
+    cos_angles = np.sum(corrected * scan[:, :3], axis=1) / \
+        np.maximum(np.linalg.norm(scan[:, :3], axis=1) ** 2, 1e-9)
+    np.testing.assert_allclose(np.arccos(np.clip(cos_angles, -1, 1)),
+                               np.deg2rad(0.205), atol=1e-4)
