@@ -233,7 +233,26 @@ class ICPFrameToModel:
         gn_cfg = dataclass_from_dict(
             GaussNewtonConfig, align_cfg.get("gauss_newton_config", {}))
 
-        if self._mode == "aggregated_local_map":
+        if self._mode == "kdtree_local_map":
+            from pylidar_slam_tpu.slam.odometry import surfel_map as sm
+            surfel_cfg = dataclass_from_dict(sm.SurfelRingMapConfig, lm_dict)
+            self.local_map_size = int(surfel_cfg.local_map_size)
+            self._surfel_cfg = surfel_cfg
+            self._step, self._first, self._batch_step = \
+                sm.make_surfel_icp_frame_step(
+                    proj=projector,
+                    map_cfg=surfel_cfg,
+                    max_num_alignments=int(config.max_num_alignments),
+                    threshold_delta_pose=float(config.threshold_delta_pose),
+                    threshold_trans=float(config.threshold_trans),
+                    threshold_rot=float(config.threshold_rot),
+                    gn_scheme=gn_cfg.scheme,
+                    gn_sigma=float(gn_cfg.sigma),
+                    gn_eps=float(gn_cfg.eps),
+                    upload_quantization=float(config.upload_quantization or 0.0),
+                )
+            self._build_vmap = None
+        elif self._mode == "aggregated_local_map":
             from pylidar_slam_tpu.slam.odometry import aggregated_map as am
             agg_cfg = dataclass_from_dict(am.AggregatedLocalMapConfig, lm_dict)
             self.local_map_size = int(agg_cfg.local_map_size)
@@ -285,6 +304,10 @@ class ICPFrameToModel:
         if self._mode == "aggregated_local_map":
             from pylidar_slam_tpu.slam.odometry import aggregated_map as am
             self._map_state = am.init_agg_map(h, w)
+        elif self._mode == "kdtree_local_map":
+            from pylidar_slam_tpu.slam.odometry import surfel_map as sm
+            self._map_state = sm.init_surfel_map(
+                k, int(self._surfel_cfg.points_per_frame))
         else:
             self._map_state = init_projective_map(k, h, w)
         self._delta_since_update = jnp.eye(4, dtype=jnp.float32)
@@ -356,7 +379,7 @@ class ICPFrameToModel:
                      f"Cannot interpret data under '{key}' with shape {arr.shape}")
         padded, mask = self._pad_points(arr)
         q = float(self.config.upload_quantization or 0.0)
-        if q > 0.0 and self._mode == "aggregated_local_map":
+        if q > 0.0 and self._mode in ("aggregated_local_map", "kdtree_local_map"):
             quantized = np.clip(np.round(padded / q), -32767, 32767).astype(np.int16)
             return jnp.asarray(quantized), jnp.asarray(mask)
         return jnp.asarray(padded), jnp.asarray(mask)
@@ -372,7 +395,8 @@ class ICPFrameToModel:
     # -- main ---------------------------------------------------------------
 
     def process_next_frame(self, data_dict: dict):
-        if self._mode == "aggregated_local_map":
+        if self._mode in ("aggregated_local_map", "kdtree_local_map"):
+            # Both modes share the (points, mask) fused-step interface.
             return self._process_next_frame_agg(data_dict)
         vmap = self._read_input(data_dict)
 

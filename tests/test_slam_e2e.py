@@ -63,3 +63,22 @@ def test_config_composition_defaults():
     cfg3 = compose("config", "slam", [
         "dataset=synthetic", "slam.odometry.max_num_alignments=25"])
     assert cfg3["slam"]["odometry"]["max_num_alignments"] == 25
+
+
+@pytest.mark.slow
+def test_surfel_kdtree_odometry_tracks_synthetic(tmp_path):
+    """The exact-NN surfel ring map ('kdtree_local_map') tracks synthetic."""
+    runner = _run(tmp_path, [
+        "slam/odometry/local_map=kdtree",
+        "slam.odometry.local_map.points_per_frame=1024",
+        "slam.odometry.local_map.target_samples=8192",
+        "slam.odometry.max_num_alignments=10"])
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "run" / "synth_00.poses.txt", sep=",")
+    absolute = np.concatenate(
+        [df.values.reshape(-1, 3, 4),
+         np.tile(np.array([[[0, 0, 0, 1.0]]]), (len(df), 1, 1))], axis=1)
+    rel_pred = ev.compute_relative_poses(absolute)
+    rel_gt = runner.dataset_loader.get_ground_truth("synth_00")[:14]
+    ate, _ = ev.compute_ate(rel_pred, rel_gt)
+    assert ate < 0.1, f"surfel odometry ATE too high: {ate}"
