@@ -134,8 +134,15 @@ class KITTIOdometrySequence:
         data_dict = {}
         scan_path = self.velodyne_path / f"{idx:06}.bin"
         assert_debug(scan_path.exists(), f"Scan file {scan_path} does not exist")
-        scan = kitti_read_scan(str(scan_path))
-        data_dict[self.numpy_pc_key] = correct_scan(scan)
+        # Native one-pass read+correct+scrub (utils/native.py); numpy fallback.
+        from pylidar_slam_tpu.utils import native
+        loaded = native.load_kitti_scan(str(scan_path), 200000)
+        if loaded is not None:
+            out, n = loaded
+            data_dict[self.numpy_pc_key] = out[:n]
+        else:
+            scan = kitti_read_scan(str(scan_path))
+            data_dict[self.numpy_pc_key] = correct_scan(scan)
         if self.ground_truth_channel and self.poses_gt is not None:
             data_dict[self.ground_truth_channel] = self.poses_gt[idx]
         return data_dict

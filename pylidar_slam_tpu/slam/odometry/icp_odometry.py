@@ -377,11 +377,20 @@ class ICPFrameToModel:
             return pts, mask
         assert_debug(arr.ndim == 2 and arr.shape[1] >= 3,
                      f"Cannot interpret data under '{key}' with shape {arr.shape}")
-        padded, mask = self._pad_points(arr)
         q = float(self.config.upload_quantization or 0.0)
         if q > 0.0 and self._mode in ("aggregated_local_map", "kdtree_local_map"):
+            # Native fused scrub+pad+quantize (single C++ pass); numpy fallback.
+            from pylidar_slam_tpu.utils import native
+            result = native.quantize_pad(arr, q, self.config.num_points_padded)
+            if result is not None:
+                quantized, n = result
+                mask = np.zeros((self.config.num_points_padded,), bool)
+                mask[:n] = True
+                return jnp.asarray(quantized), jnp.asarray(mask)
+            padded, mask = self._pad_points(arr)
             quantized = np.clip(np.round(padded / q), -32767, 32767).astype(np.int16)
             return jnp.asarray(quantized), jnp.asarray(mask)
+        padded, mask = self._pad_points(arr)
         return jnp.asarray(padded), jnp.asarray(mask)
 
     @staticmethod
