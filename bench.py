@@ -63,15 +63,21 @@ def main():
 
     frames, proj, source = load_frames()
 
+    # The tuned accuracy configuration (synthetic tr_err 0.57%, meeting the
+    # BASELINE accuracy bar): neighborhood-weighted GN, reassociation every
+    # 2 iterations, f32 uploads (int16 quantization costs ~0.3pt tr_err).
     icp_cfg = ICPFrameToModelConfig(
-        max_num_alignments=9,
+        max_num_alignments=12,
+        reassoc_every=2,
         local_map={"type": "aggregated_local_map", "local_map_size": 20,
-                   "window_rows": 1, "window_cols": 2},
-        alignment={"gauss_newton_config": {"scheme": "geman_mcclure",
-                                           "sigma": 0.3, "max_iters": 1}},
+                   "window_rows": 1, "window_cols": 2,
+                   "max_neighbor_dist": 0.6},
+        alignment={"gauss_newton_config": {"scheme": "neighborhood",
+                                           "sigma": 0.2, "max_iters": 1}},
         num_points_padded=131072,
         data_key="numpy_pc",
         batch_size=BATCH,
+        upload_quantization=float(os.environ.get("BENCH_QUANT", "0.0")),
     )
     odom = ICPFrameToModel(icp_cfg, projector=proj)
     odom.init()
@@ -102,7 +108,7 @@ def main():
 
     scans_per_sec = len(bench_frames) / elapsed
     result = {
-        "metric": f"ICP odometry throughput ({source}, 64x1024, map=20, 10 iters)",
+        "metric": f"ICP odometry throughput ({source}, 64x1024, map=20, accuracy config)",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
         "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 2),

@@ -63,9 +63,9 @@ int load_kitti_scan_quantized(const char* path, float quantization,
             float rz = c * z + s * cz_;
 
             float qx = rx * inv_q, qy = ry * inv_q, qz = rz * inv_q;
-            if (qx > 32767.f) qx = 32767.f; else if (qx < -32767.f) qx = -32767.f;
-            if (qy > 32767.f) qy = 32767.f; else if (qy < -32767.f) qy = -32767.f;
-            if (qz > 32767.f) qz = 32767.f; else if (qz < -32767.f) qz = -32767.f;
+            // out-of-range points are dropped (clamping warps geometry)
+            if (qx > 32767.f || qx < -32767.f || qy > 32767.f ||
+                qy < -32767.f || qz > 32767.f || qz < -32767.f) continue;
             out[3 * written + 0] = static_cast<int16_t>(std::lround(qx));
             out[3 * written + 1] = static_cast<int16_t>(std::lround(qy));
             out[3 * written + 2] = static_cast<int16_t>(std::lround(qz));
@@ -124,9 +124,8 @@ int quantize_pad(const float* points, int n, float quantization,
         float x = points[3 * i], y = points[3 * i + 1], z = points[3 * i + 2];
         if (std::isnan(x) || std::isnan(y) || std::isnan(z)) continue;
         float qx = x * inv_q, qy = y * inv_q, qz = z * inv_q;
-        if (qx > 32767.f) qx = 32767.f; else if (qx < -32767.f) qx = -32767.f;
-        if (qy > 32767.f) qy = 32767.f; else if (qy < -32767.f) qy = -32767.f;
-        if (qz > 32767.f) qz = 32767.f; else if (qz < -32767.f) qz = -32767.f;
+        if (qx > 32767.f || qx < -32767.f || qy > 32767.f ||
+            qy < -32767.f || qz > 32767.f || qz < -32767.f) continue;
         out[3 * written + 0] = static_cast<int16_t>(std::lround(qx));
         out[3 * written + 1] = static_cast<int16_t>(std::lround(qy));
         out[3 * written + 2] = static_cast<int16_t>(std::lround(qz));

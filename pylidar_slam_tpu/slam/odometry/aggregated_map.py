@@ -243,7 +243,8 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                             gn_scheme: str,
                             gn_sigma: float,
                             gn_eps: float = 1.0e-4,
-                            upload_quantization: float = 0.0):
+                            upload_quantization: float = 0.0,
+                            deskew: bool = False):
     """Builds the jitted per-frame step for the aggregated-map odometry.
 
     Iteration structure: `max_num_alignments` GN iterations; the target is
@@ -328,6 +329,16 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
         """Full frame: register + thresholded insert.  Returns
         (state', delta', rpose, pose_params, diagnostics)."""
         points = dequant(points)
+        if deskew:
+            # In-step motion de-skew (the device-side equivalent of the
+            # reference's Distortion filter, preprocessing.py:144-191, and
+            # the first-order core of CT-ICP's elastic registration):
+            # azimuth-estimated per-point fractions slerp the CV prior.
+            alphas = projection.estimate_timestamps(points, clockwise=True,
+                                                    phi_0=math.pi, mask=mask)
+            rots, trs = se3.interpolate_pose(init_rpose, alphas)
+            points = jnp.einsum("nij,nj->ni", rots, points) + trs
+            points = jnp.where(mask[:, None], points, 0.0)
         t_init = state.anchor_from_cur @ init_rpose
         t_final, it, loss, matches = register(state, points, mask, t_init)
 

@@ -85,10 +85,15 @@ class ICPFrameToModelConfig(OdometryConfig):
     num_points_padded: int = 131072
     # Aggregated-map mode: re-rasterize the target every N ICP iterations.
     reassoc_every: int = 3
-    # Host->device upload quantization step in meters (0 disables).  4 mm is
-    # well below LiDAR sensor noise (~2 cm) and halves the upload volume,
-    # which is the throughput ceiling on tunneled TPUs (~120 MB/s measured).
-    upload_quantization: float = 0.004
+    # Host->device upload quantization step in meters (0 disables -- the
+    # default: int16 quantization measurably costs ~0.3pt tr_err on synthetic
+    # despite being below sensor noise; enable for upload-bandwidth-bound
+    # deployments).
+    upload_quantization: float = 0.0
+    # Dithered quantization: adds uniform(-q/2, q/2) noise before rounding.
+    # Measured NOT to recover the quantization accuracy loss (sweep 4) --
+    # kept as an option, default off.
+    upload_dither: bool = False
     # Aggregated-map mode: frames per device execution (lax.scan).  B > 1
     # amortizes dispatch overhead; constant-velocity priors then chain on
     # device and per-frame `odometry_pose` outputs are unavailable (use
@@ -379,16 +384,28 @@ class ICPFrameToModel:
                      f"Cannot interpret data under '{key}' with shape {arr.shape}")
         q = float(self.config.upload_quantization or 0.0)
         if q > 0.0 and self._mode in ("aggregated_local_map", "kdtree_local_map"):
-            # Native fused scrub+pad+quantize (single C++ pass); numpy fallback.
-            from pylidar_slam_tpu.utils import native
-            result = native.quantize_pad(arr, q, self.config.num_points_padded)
-            if result is not None:
-                quantized, n = result
-                mask = np.zeros((self.config.num_points_padded,), bool)
-                mask[:n] = True
-                return jnp.asarray(quantized), jnp.asarray(mask)
+            if not self.config.upload_dither:
+                # Native fused scrub+pad+quantize (single C++ pass).
+                from pylidar_slam_tpu.utils import native
+                result = native.quantize_pad(arr, q, self.config.num_points_padded)
+                if result is not None:
+                    quantized, n = result
+                    mask = np.zeros((self.config.num_points_padded,), bool)
+                    mask[:n] = True
+                    return jnp.asarray(quantized), jnp.asarray(mask)
             padded, mask = self._pad_points(arr)
-            quantized = np.clip(np.round(padded / q), -32767, 32767).astype(np.int16)
+            if self.config.upload_dither:
+                self._dither_rng = getattr(self, "_dither_rng", None) or \
+                    np.random.default_rng(0)
+                padded = padded + (self._dither_rng.random(
+                    padded.shape, dtype=np.float32) - 0.5) * q
+            steps = np.round(padded / q)
+            # Points beyond the int16 range are DROPPED (clamping would warp
+            # far-field geometry and bias the registration).
+            in_range = (np.abs(steps) <= 32767).all(axis=1)
+            mask = mask & in_range
+            quantized = np.clip(steps, -32767, 32767).astype(np.int16)
+            quantized[~mask] = 0
             return jnp.asarray(quantized), jnp.asarray(mask)
         padded, mask = self._pad_points(arr)
         return jnp.asarray(padded), jnp.asarray(mask)
