@@ -118,10 +118,12 @@ def point_to_point_jacobian(params: jnp.ndarray,
                             target_points: jnp.ndarray,
                             ref_points: jnp.ndarray,
                             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Analytic Jacobian of point-to-point residuals (pre-normalization form).
+    """Analytic Jacobian of the point-to-point NORM residuals: (N, 6).
 
-    Matches the reference's (unnormalized) formulation optimization.py:488-505:
-    J[n, p] = (dT/dx_p @ p_n) . (T p_n - q_n).
+    J[n, p] = (dT/dx_p @ p_n) . (T p_n - q_n) / ||T p_n - q_n||.
+    (The reference's formulation, optimization.py:488-505, omits the
+    normalization -- the Jacobian of the SQUARED distance against a norm
+    residual -- which stalls Gauss-Newton; we use the consistent form.)
     """
     jac_mat = rotation.pose_matrix_jacobian(params[None])[0]
     jac_rot = jac_mat[:, :3, :3]
@@ -129,7 +131,8 @@ def point_to_point_jacobian(params: jnp.ndarray,
     dpt = jnp.einsum("pij,nj->pni", jac_rot, target_points) + jac_tr[:, None, :]
     mat = se3.build_pose_matrix(params[None])[0]
     diff = se3.apply_transformation(target_points, mat) - ref_points
-    jac = jnp.einsum("pni,ni->np", dpt, diff)
+    norms = jnp.maximum(jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-9)
+    jac = jnp.einsum("pni,ni->np", dpt, diff / norms)
     if mask is not None:
         jac = jnp.where(mask[:, None], jac, 0.0)
     return jac

@@ -244,7 +244,8 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                             gn_sigma: float,
                             gn_eps: float = 1.0e-4,
                             upload_quantization: float = 0.0,
-                            deskew: bool = False):
+                            deskew: bool = False,
+                            alignment_mode: str = "point_to_plane_gauss_newton"):
     """Builds the jitted per-frame step for the aggregated-map odometry.
 
     Iteration structure: `max_num_alignments` GN iterations; the target is
@@ -270,17 +271,22 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
         """ICP: solves T = anchor_from_new. tgt_pts (N, 3) in the new frame."""
 
         def rasterize_target(t):
+            """Rasterization of the full padded cloud at pose t.
+
+            (Re-binning the 65k image pixels instead was measured to LOSE
+            accuracy -- z-buffer losses compound across re-rasterizations --
+            so every re-association goes back to the raw cloud.)
+            """
             q = se3.apply_transformation(tgt_pts[None], t[None])[0]
             idx, hit = rasterize_encoded(q, proj, tgt_mask)
-            timg0 = jnp.where(hit[:, None], q[idx], 0.0).reshape(h, w, 3)
-            return timg0
+            return jnp.where(hit[:, None], q[idx], 0.0).reshape(h, w, 3)
 
         def body(carry):
             t, timg0, t_round, _, it, _, _ = carry
             # Re-rasterize target into the anchor grid every `reassoc_every`
             # iterations; in between, transform the round image's VALUES by
             # the accumulated delta (elementwise, exact).
-            do_reassoc = (it % reassoc_every) == 0
+            do_reassoc = (it > 0) & ((it % reassoc_every) == 0)
             timg0, t_round = jax.lax.cond(
                 do_reassoc,
                 lambda _: (rasterize_target(t), t),
@@ -297,10 +303,13 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
             ref, nrm, ok, sq_d = window_associate(state, timg, wr, wc, max_nd)
             tp = timg.reshape(-1, 3)
 
-            res = optimization.point_to_plane_residuals(
-                jnp.zeros(6, tp.dtype), tp, ref, nrm, ok)
-            jac = optimization.point_to_plane_jacobian(
-                jnp.zeros(6, tp.dtype), tp, nrm, ok)
+            zero6 = jnp.zeros(6, tp.dtype)
+            if alignment_mode == "point_to_point_gauss_newton":
+                res = optimization.point_to_point_residuals(zero6, tp, ref, ok)
+                jac = optimization.point_to_point_jacobian(zero6, tp, ref, ok)
+            else:
+                res = optimization.point_to_plane_residuals(zero6, tp, ref, nrm, ok)
+                jac = optimization.point_to_plane_jacobian(zero6, tp, nrm, ok)
             weights = optimization.robust_weights(gn_scheme, res, gn_sigma,
                                                   sq_dists=sq_d, eps=gn_eps)
             dx, loss, singular = optimization.gauss_newton_step(res, jac, weights)
@@ -317,8 +326,8 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
             _, _, _, delta_norm, it, _, _ = carry
             return (it < max_num_alignments) & (delta_norm >= threshold_delta_pose)
 
-        zeros_img = jnp.zeros((h, w, 3), tgt_pts.dtype)
-        init = (t_init, zeros_img, t_init, jnp.array(jnp.inf, tgt_pts.dtype),
+        timg_init = rasterize_target(t_init)
+        init = (t_init, timg_init, t_init, jnp.array(jnp.inf, tgt_pts.dtype),
                 jnp.array(0, jnp.int32), jnp.array(0.0, tgt_pts.dtype),
                 jnp.array(0, jnp.int32))
         t, _, _, _, it, loss, matches = jax.lax.while_loop(cond, body, init)

@@ -274,6 +274,9 @@ class ICPFrameToModel:
                 gn_sigma=float(gn_cfg.sigma),
                 gn_eps=float(gn_cfg.eps),
                 upload_quantization=float(config.upload_quantization or 0.0),
+                deskew=bool(align_cfg.get("deskew", False)),
+                alignment_mode=str(align_cfg.get(
+                    "mode", "point_to_plane_gauss_newton")),
             )
             self._build_vmap = None
         else:
