@@ -48,6 +48,7 @@ class AggregatedLocalMapConfig(LocalMapConfig):
     window_rows: int = 1  # search window half-extent in rows
     window_cols: int = 2  # search window half-extent in cols (azimuth)
     max_neighbor_dist: float = 1.0  # reject correspondences farther than this (m)
+    use_fused_kernel: bool = False  # opt-in Pallas assoc+GN backend (TPU only)
 
 
 LOCAL_MAP.register("aggregated_local_map", object, AggregatedLocalMapConfig)
@@ -245,7 +246,8 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                             gn_eps: float = 1.0e-4,
                             upload_quantization: float = 0.0,
                             deskew: bool = False,
-                            alignment_mode: str = "point_to_plane_gauss_newton"):
+                            alignment_mode: str = "point_to_plane_gauss_newton",
+                            use_fused_kernel: bool = False):
     """Builds the jitted per-frame step for the aggregated-map odometry.
 
     Iteration structure: `max_num_alignments` GN iterations; the target is
@@ -300,27 +302,49 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                                          delta_round[None])[0].reshape(h, w, 3),
                 0.0)
 
-            ref, nrm, ok, sq_d = window_associate(state, timg, wr, wc, max_nd)
-            tp = timg.reshape(-1, 3)
-
-            zero6 = jnp.zeros(6, tp.dtype)
-            if alignment_mode == "point_to_point_gauss_newton":
-                res = optimization.point_to_point_residuals(zero6, tp, ref, ok)
-                jac = optimization.point_to_point_jacobian(zero6, tp, ref, ok)
+            if use_fused_kernel and \
+                    alignment_mode == "point_to_plane_gauss_newton":
+                # Single-pass Pallas kernel: association + residuals +
+                # Jacobian + weighted 6x6 normal equations fused
+                # (ops/pallas/assoc_gn_kernel.py).  Measured ~on par with the
+                # XLA path on the current device; kept as an opt-in backend.
+                from pylidar_slam_tpu.ops.pallas.assoc_gn_kernel import (
+                    window_assoc_gn_pallas)
+                h_mat, g, loss, count, _ = window_assoc_gn_pallas(
+                    timg, state.xyz, state.normal, state.rng > 0,
+                    wr=wr, wc=wc, max_nd=max_nd,
+                    scheme=gn_scheme, sigma=gn_sigma)
+                det = jnp.linalg.det(h_mat)
+                singular = jnp.abs(det) < 1.0e-7
+                h_safe = jnp.where(singular, jnp.eye(6, dtype=h_mat.dtype), h_mat)
+                dx = -jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(h_safe), g)
+                dx = jnp.where(singular, jnp.zeros_like(dx), dx)
+                ok_count = count.astype(jnp.int32)
             else:
-                res = optimization.point_to_plane_residuals(zero6, tp, ref, nrm, ok)
-                jac = optimization.point_to_plane_jacobian(zero6, tp, nrm, ok)
-            weights = optimization.robust_weights(gn_scheme, res, gn_sigma,
-                                                  sq_dists=sq_d, eps=gn_eps)
-            dx, loss, singular = optimization.gauss_newton_step(res, jac, weights)
+                ref, nrm, ok, sq_d = window_associate(state, timg, wr, wc, max_nd)
+                tp = timg.reshape(-1, 3)
+
+                zero6 = jnp.zeros(6, tp.dtype)
+                if alignment_mode == "point_to_point_gauss_newton":
+                    res = optimization.point_to_point_residuals(zero6, tp, ref, ok)
+                    jac = optimization.point_to_point_jacobian(zero6, tp, ref, ok)
+                else:
+                    res = optimization.point_to_plane_residuals(zero6, tp, ref,
+                                                                nrm, ok)
+                    jac = optimization.point_to_plane_jacobian(zero6, tp, nrm, ok)
+                weights = optimization.robust_weights(gn_scheme, res, gn_sigma,
+                                                      sq_dists=sq_d, eps=gn_eps)
+                dx, loss, singular = optimization.gauss_newton_step(res, jac,
+                                                                    weights)
+                ok_count = jnp.sum(ok).astype(jnp.int32)
 
             delta_norm = jnp.linalg.norm(dx)
             apply = (delta_norm >= threshold_delta_pose) & (~singular)
             delta_mat = se3.build_pose_matrix(dx[None])[0]
             new_t = se3.normalize_pose_matrix((delta_mat @ t)[None])[0]
             t_out = jnp.where(apply, new_t, t)
-            return (t_out, timg0, t_round, delta_norm, it + 1, loss,
-                    jnp.sum(ok).astype(jnp.int32))
+            return (t_out, timg0, t_round, delta_norm, it + 1, loss, ok_count)
 
         def cond(carry):
             _, _, _, delta_norm, it, _, _ = carry

@@ -277,6 +277,7 @@ class ICPFrameToModel:
                 deskew=bool(align_cfg.get("deskew", False)),
                 alignment_mode=str(align_cfg.get(
                     "mode", "point_to_plane_gauss_newton")),
+                use_fused_kernel=bool(agg_cfg.use_fused_kernel),
             )
             self._build_vmap = None
         else:
