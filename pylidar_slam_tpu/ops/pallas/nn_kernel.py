@@ -31,14 +31,15 @@ import jax.numpy as jnp
 
 from pylidar_slam_tpu.ops import icp3d
 
-BM = 1024  # queries per program (8 sub-blocks of 128 lanes)
-BV = 1024  # model chunk size (sublanes per tile)
+BM = 512  # queries per program (4 sub-blocks of 128 lanes)
+BV = 512  # model chunk size (sublanes per tile)
 SUB = 128  # lane width
 
 
 def _nn_kernel(q_ref, m_ref, out_idx_ref, out_dist_ref, *, v_total: int):
-    """q_ref: (BM, 4) = [-2x, -2y, -2z, 1]; m_ref: (V, 4) = [x, y, z, n2];
-    outputs: (1, 8, 128) tiles (one row per 128-query sub-block)."""
+    """q_ref: (BM, 4) = [-2x, -2y, -2z, 1]; m_ref: (4, V) = [x; y; z; n2]
+    TRANSPOSED so the long axis sits on lanes (a (V, 4) layout pads the
+    4-lane dim to 128 and blows VMEM 32x); outputs: (1, BM/128, 128) tiles."""
     from jax.experimental import pallas as pl
 
     num_chunks = v_total // BV
@@ -48,11 +49,11 @@ def _nn_kernel(q_ref, m_ref, out_idx_ref, out_dist_ref, *, v_total: int):
 
         def body(c, carry):
             best_d, best_i = carry  # (1, 128) each
-            mc = m_ref[pl.ds(c * BV, BV), :]  # (BV, 4)
+            mc = m_ref[:, pl.ds(c * BV, BV)]  # (4, BV)
             # d_partial = ||m||^2 - 2 q.m  (one MXU contraction).
             # HIGHEST precision is required: the default bf16 MXU pass
             # truncates ~20 m coordinates to ~0.1 m -- useless for NN.
-            d = jax.lax.dot_general(mc, qs, (((1,), (1,)), ((), ())),
+            d = jax.lax.dot_general(mc, qs, (((0,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32,
                                     precision=jax.lax.Precision.HIGHEST)
             cd = jnp.min(d, axis=0, keepdims=True)  # (1, 128)
@@ -76,7 +77,7 @@ def nn_argmin_pallas(queries: jnp.ndarray, model: jnp.ndarray,
                      model_valid: jnp.ndarray):
     """Exact 1-NN: queries (M, 3) vs model (V, 3) -> (idx (M,), sq_dist (M,)).
 
-    M must be a multiple of 1024 and V of 1024 (pad with invalid entries).
+    M must be a multiple of 512 and V of 512 (pad with invalid entries).
     """
     from jax.experimental import pallas as pl
 
@@ -90,7 +91,7 @@ def nn_argmin_pallas(queries: jnp.ndarray, model: jnp.ndarray,
     m_norms = jnp.sum(model * model, axis=1)
     big = jnp.array(3.0e38, jnp.float32)  # effectively +inf, finite for matmul
     m4 = jnp.concatenate([model, jnp.where(model_valid, m_norms, big)[:, None]],
-                         axis=1)
+                         axis=1).T  # (4, V): long axis on lanes
 
     kernel = functools.partial(_nn_kernel, v_total=v_count)
     grid = (m_count // BM,)
@@ -99,7 +100,7 @@ def nn_argmin_pallas(queries: jnp.ndarray, model: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec((BM, 4), lambda i: (i, 0)),
-            pl.BlockSpec((v_count, 4), lambda i: (0, 0)),
+            pl.BlockSpec((4, v_count), lambda i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, BM // SUB, SUB), lambda i: (i, 0, 0)),
