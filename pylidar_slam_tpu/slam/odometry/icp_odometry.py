@@ -234,6 +234,11 @@ class ICPFrameToModel:
 
         lm_dict = config.local_map if isinstance(config.local_map, dict) else {}
         self._mode = lm_dict.get("type", "projective_local_map")
+        known_modes = ("projective_local_map", "aggregated_local_map",
+                       "kdtree_local_map")
+        assert_debug(self._mode in known_modes,
+                     f"Unknown local_map type '{self._mode}'. "
+                     f"Known: {list(known_modes)}")
         align_cfg = config.alignment if isinstance(config.alignment, dict) else {}
         gn_cfg = dataclass_from_dict(
             GaussNewtonConfig, align_cfg.get("gauss_newton_config", {}))

@@ -64,6 +64,10 @@ class ATrainerConfig:
     num_points_padded: int = 131072
     data_parallel: bool = False  # shard batches over all visible devices
     seed: int = 0
+    # TensorBoard logging (reference trainer.py:466-518): scalar frequencies
+    # per split; 0 disables.  Uses torch.utils.tensorboard when importable.
+    with_tensorboard: bool = True
+    tensorboard_scalar_frequency: int = 20
 
 
 class AverageMeter:
@@ -148,6 +152,32 @@ class PoseNetTrainer:
         self._train_step = None
         self._eval_step = None
         self._sharding = None
+        self._tb_writer = None
+
+    def _tensorboard(self):
+        """Lazy TensorBoard writer (no-op when unavailable/disabled)."""
+        if not self.config.with_tensorboard or \
+                self.config.tensorboard_scalar_frequency <= 0:
+            return None
+        if self._tb_writer is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb_writer = SummaryWriter(
+                    log_dir=str(self.train_dir / "tensorboard"))
+            except ImportError:
+                self.config.with_tensorboard = False
+                return None
+        return self._tb_writer
+
+    def _log_scalars(self, prefix: str, logs: dict, step: int):
+        writer = self._tensorboard()
+        if writer is None:
+            return
+        for key, value in logs.items():
+            try:
+                writer.add_scalar(f"{prefix}/{key}", float(value), step)
+            except (TypeError, ValueError):
+                pass
 
     # ------------------------------------------------------------------
     # Initialization / checkpointing (contract: {train_dir}/checkpoint.ckp
@@ -363,6 +393,9 @@ class PoseNetTrainer:
                 meter.update(loss_val)
                 logger.info("epoch %d iter %d lr %.2e loss %.6f",
                             self.num_train_epochs, self.train_iter, lr, loss_val)
+            if self.config.tensorboard_scalar_frequency > 0 and \
+                    self.train_iter % self.config.tensorboard_scalar_frequency == 0:
+                self._log_scalars(".train", {**logs, "lr": lr}, self.train_iter)
         self._set_trainable(trainable)
         return meter.average
 
@@ -378,6 +411,9 @@ class PoseNetTrainer:
                                          jnp.asarray(gt))
             self.eval_iter += 1
             meter.update(float(loss))
+            if self.config.tensorboard_scalar_frequency > 0 and \
+                    self.eval_iter % self.config.tensorboard_scalar_frequency == 0:
+                self._log_scalars(".eval", logs, self.eval_iter)
         return meter.average
 
     def train(self, num_epochs: Optional[int] = None):
