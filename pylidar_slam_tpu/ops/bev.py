@@ -18,13 +18,11 @@ Used by the elevation-image loop closure and the EI initialization prior.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from pylidar_slam_tpu.ops import voxel
 
 
 def build_elevation_image(points: jnp.ndarray,

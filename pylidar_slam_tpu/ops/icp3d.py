@@ -8,7 +8,6 @@ workload that beats tree structures on TPU.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -13,7 +13,6 @@ exp, neighborhood, geman_mcclure, square_geman_mcclure, cauchy.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

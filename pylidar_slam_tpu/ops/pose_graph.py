@@ -20,7 +20,6 @@ construction (backend.py:313-329).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

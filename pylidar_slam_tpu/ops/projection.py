@@ -21,10 +21,8 @@ reference's public ``(C, H, W)`` layout where needed.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 

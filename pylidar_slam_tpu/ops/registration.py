@@ -11,7 +11,6 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from pylidar_slam_tpu.ops import se3
 
 
 def weighted_procrustes(ref_points: jnp.ndarray,

@@ -24,7 +24,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 import yaml
 
-from pylidar_slam_tpu.config import MISSING, dataclass_from_dict
+from pylidar_slam_tpu.config import dataclass_from_dict
 from pylidar_slam_tpu.dataset import DATASET
 from pylidar_slam_tpu.eval.eval_odometry import OdometryResults
 from pylidar_slam_tpu.slam.slam import SLAM, SLAMConfig
