@@ -178,11 +178,25 @@ def _deep_merge(base: Dict[str, Any], overlay: Dict[str, Any]) -> Dict[str, Any]
 
 
 def _parse_scalar(text: str) -> Any:
-    """Parses a CLI value using YAML scalar rules."""
+    """Parses a CLI value using YAML scalar rules.
+
+    YAML 1.1 treats exponent floats without a dot ('2e-4') as strings; fall
+    back to numeric parsing so such overrides become numbers.
+    """
     try:
-        return yaml.safe_load(text)
+        value = yaml.safe_load(text)
     except yaml.YAMLError:
         return text
+    if isinstance(value, str):
+        try:
+            return int(value)
+        except ValueError:
+            pass
+        try:
+            return float(value)
+        except ValueError:
+            pass
+    return value
 
 
 class ConfigLoader:

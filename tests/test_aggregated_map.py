@@ -1,0 +1,93 @@
+"""Unit tests for the aggregated incremental projective map internals."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pylidar_slam_tpu.ops import projection
+from pylidar_slam_tpu.slam.odometry import aggregated_map as am
+
+PROJ = projection.SphericalProjection(height=16, width=64, up_fov=3.0,
+                                      down_fov=-24.0)
+
+
+def _scan(rng, n=1024):
+    azim = rng.uniform(-np.pi, np.pi, n)
+    elev = rng.uniform(np.deg2rad(-23.0), np.deg2rad(2.5), n)
+    r = rng.uniform(3.0, 40.0, n)
+    return np.stack([r * np.cos(elev) * np.cos(azim),
+                     r * np.cos(elev) * np.sin(azim),
+                     r * np.sin(elev)], 1).astype(np.float32)
+
+
+def test_rasterize_encoded_closest_wins():
+    p_far = np.array([[30.0, 0.0, -5.0]], np.float32)
+    p_near = p_far / 3.0
+    pts = jnp.asarray(np.concatenate([p_far, p_near]))
+    idx, hit = am.rasterize_encoded(pts, PROJ, jnp.ones(2, bool))
+    winners = np.asarray(idx)[np.asarray(hit)]
+    assert (winners == 1).all()  # the near point wins its pixel
+
+
+def test_insert_scan_merges_and_evicts():
+    rng = np.random.default_rng(0)
+    state = am.init_agg_map(PROJ.height, PROJ.width)
+    scan = _scan(rng)
+    vmap, nmap, rimg = am.build_scan_images(jnp.asarray(scan),
+                                            jnp.ones(len(scan), bool), PROJ)
+    state = am.insert_scan(state, vmap, nmap, rimg, jnp.eye(4), PROJ, max_age=2)
+    occ0 = int(jnp.sum(state.rng > 0))
+    assert occ0 > 100
+    assert int(state.age.max()) == 0
+
+    # Insert a second scan with identity motion: ages must increment for
+    # surviving old pixels; none may exceed max_age after the next inserts.
+    scan2 = _scan(rng)
+    vmap2, nmap2, rimg2 = am.build_scan_images(jnp.asarray(scan2),
+                                               jnp.ones(len(scan2), bool), PROJ)
+    state = am.insert_scan(state, vmap2, nmap2, rimg2, jnp.eye(4), PROJ, max_age=2)
+    assert int(state.age.max()) <= 1
+
+    # Two more inserts of empty scans: pixels older than max_age=2 evict
+    empty = jnp.zeros((PROJ.height, PROJ.width, 3))
+    zero_r = jnp.zeros((PROJ.height, PROJ.width))
+    state = am.insert_scan(state, empty, empty, zero_r, jnp.eye(4), PROJ, max_age=2)
+    state = am.insert_scan(state, empty, empty, zero_r, jnp.eye(4), PROJ, max_age=2)
+    state = am.insert_scan(state, empty, empty, zero_r, jnp.eye(4), PROJ, max_age=2)
+    assert int(jnp.sum(state.rng > 0)) == 0  # everything aged out
+
+
+def test_window_associate_exact_match():
+    """A target equal to the model must match itself at zero distance."""
+    rng = np.random.default_rng(1)
+    state = am.init_agg_map(PROJ.height, PROJ.width)
+    scan = _scan(rng)
+    vmap, nmap, rimg = am.build_scan_images(jnp.asarray(scan),
+                                            jnp.ones(len(scan), bool), PROJ)
+    state = am.insert_scan(state, vmap, nmap, rimg, jnp.eye(4), PROJ, max_age=5)
+
+    ref, nrm, ok, sq_d = am.window_associate(state, vmap, 1, 2, 1.0)
+    ok_np = np.asarray(ok)
+    assert ok_np.sum() > 100
+    np.testing.assert_allclose(np.asarray(sq_d)[ok_np], 0.0, atol=1e-9)
+    # matched refs equal the target pixels
+    tgt = np.asarray(vmap).reshape(-1, 3)
+    np.testing.assert_allclose(np.asarray(ref)[ok_np], tgt[ok_np], atol=1e-6)
+
+
+def test_window_associate_column_wraparound():
+    """Azimuth wraps: a model point at the last column must be reachable from
+    a target at the first column."""
+    h, w = PROJ.height, PROJ.width
+    state = am.init_agg_map(h, w)
+    model = np.zeros((h, w, 3), np.float32)
+    normal = np.zeros((h, w, 3), np.float32)
+    model[8, w - 1] = [10.0, 0.1, -2.0]
+    normal[8, w - 1] = [0.0, 0.0, 1.0]
+    rng_img = np.linalg.norm(model, axis=-1)
+    state = state._replace(xyz=jnp.asarray(model), normal=jnp.asarray(normal),
+                           rng=jnp.asarray(rng_img))
+
+    target = np.zeros((h, w, 3), np.float32)
+    target[8, 0] = [10.0, 0.1, -2.0]
+    ref, nrm, ok, sq_d = am.window_associate(state, jnp.asarray(target), 0, 2, 1.0)
+    assert bool(np.asarray(ok).reshape(h, w)[8, 0])

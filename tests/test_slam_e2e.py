@@ -82,3 +82,13 @@ def test_surfel_kdtree_odometry_tracks_synthetic(tmp_path):
     rel_gt = runner.dataset_loader.get_ground_truth("synth_00")[:14]
     ate, _ = ev.compute_ate(rel_pred, rel_gt)
     assert ate < 0.1, f"surfel odometry ATE too high: {ate}"
+
+
+def test_cli_scalar_parsing():
+    from pylidar_slam_tpu.config import _parse_scalar
+    assert _parse_scalar("2e-4") == 2e-4  # YAML 1.1 would keep this a string
+    assert _parse_scalar("1.5") == 1.5
+    assert _parse_scalar("42") == 42
+    assert _parse_scalar("true") is True
+    assert _parse_scalar("[1, 2]") == [1, 2]
+    assert _parse_scalar("hello") == "hello"
