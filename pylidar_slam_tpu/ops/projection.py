@@ -108,7 +108,7 @@ def build_vertex_map(points: jnp.ndarray,
     idx_min = idx_min[: h * w]
 
     hit = idx_min < n
-    gathered = channels[jnp.clip(idx_min, 0, n - 1)]
+    gathered = jnp.take(channels, jnp.clip(idx_min, 0, n - 1), axis=0)
     out = jnp.where(hit[:, None], gathered,
                     jnp.asarray(default_value, dtype=channels.dtype))
     return out.reshape(h, w, channels.shape[-1])

@@ -119,7 +119,8 @@ def build_scan_images(points: jnp.ndarray,
     """Rasterizes a scan -> (vertex map, normal map, range image), (H, W, *)."""
     h, w = proj.height, proj.width
     idx, hit = rasterize_encoded(points, proj, mask)
-    vmap = jnp.where(hit[:, None], points[idx], 0.0).reshape(h, w, 3)
+    vmap = jnp.where(hit[:, None], jnp.take(points, idx, axis=0),
+                     0.0).reshape(h, w, 3)
     nmap = geometry.compute_normal_map(vmap, normals_kernel_size)
     rimg = jnp.linalg.norm(vmap, axis=-1)
     return vmap, nmap, rimg
@@ -154,9 +155,11 @@ def insert_scan(state: AggMapState,
     moved_nrm = se3.apply_rotation(old_nrm[None], t[None])[0]
 
     idx, hit = rasterize_encoded(moved, proj, old_valid)
-    old_img_xyz = jnp.where(hit[:, None], moved[idx], 0.0).reshape(h, w, 3)
-    old_img_nrm = jnp.where(hit[:, None], moved_nrm[idx], 0.0).reshape(h, w, 3)
-    old_img_age = jnp.where(hit, old_age[idx], 0).reshape(h, w)
+    old_img_xyz = jnp.where(hit[:, None], jnp.take(moved, idx, axis=0),
+                           0.0).reshape(h, w, 3)
+    old_img_nrm = jnp.where(hit[:, None], jnp.take(moved_nrm, idx, axis=0),
+                           0.0).reshape(h, w, 3)
+    old_img_age = jnp.where(hit, jnp.take(old_age, idx), 0).reshape(h, w)
     old_img_rng = jnp.linalg.norm(old_img_xyz, axis=-1)
 
     # Per-pixel merge: closest range wins; empty pixels take whichever side hits.
@@ -281,7 +284,8 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
             """
             q = se3.apply_transformation(tgt_pts[None], t[None])[0]
             idx, hit = rasterize_encoded(q, proj, tgt_mask)
-            return jnp.where(hit[:, None], q[idx], 0.0).reshape(h, w, 3)
+            return jnp.where(hit[:, None], jnp.take(q, idx, axis=0),
+                             0.0).reshape(h, w, 3)
 
         def body(carry):
             t, timg0, t_round, _, it, _, _ = carry

@@ -105,8 +105,8 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
             t, _, it, _, _ = carry
             moved = se3.apply_transformation(targets[None], t[None])[0]
             idx, sq_d = nn_argmin(moved, state.points, state.valid)
-            ref = state.points[idx]
-            nrm = state.normals[idx]
+            ref = jnp.take(state.points, idx, axis=0)
+            nrm = jnp.take(state.normals, idx, axis=0)
             ok = t_valid & (sq_d < max_nd * max_nd) & \
                 (jnp.max(jnp.abs(nrm), axis=-1) > 0)
 
@@ -149,15 +149,15 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
 
         # Scan surfels: grid-sample + image normals gathered at winner pixels
         idx_img, hit = _rasterize_idx(points, mask)
-        vmap = jnp.where(hit[:, None], points[idx_img], 0.0) \
-            .reshape(proj.height, proj.width, 3)
+        vmap = jnp.where(hit[:, None], jnp.take(points, idx_img, axis=0),
+                        0.0).reshape(proj.height, proj.width, 3)
         nmap = geometry.compute_normal_map(vmap, nks)
         vpix = vmap.reshape(-1, 3)
         npix = nmap.reshape(-1, 3)
         pix_valid = jnp.max(jnp.abs(vpix), axis=-1) > 0
         sel_pts, sel_idx, sel_valid = _grid_sample_fixed(
             vpix, pix_valid, float(map_cfg.sample_voxel_size), s)
-        sel_nrm = npix[sel_idx]
+        sel_nrm = jnp.take(npix, sel_idx, axis=0)
         sel_valid = sel_valid & (jnp.max(jnp.abs(sel_nrm), axis=-1) > 0)
 
         slot = state.write_slot
