@@ -66,6 +66,9 @@ def _make_kernel(h: int, w: int, wr: int, wc: int, max_nd_sq: float,
         h_nx, h_ny, h_nz = halo(nx_ref), halo(ny_ref), halo(nz_ref)
         h_mv = halo(mv_ref)
 
+        # Per-target-row global indices (for border validity below)
+        local_rows = jax.lax.broadcasted_iota(jnp.int32, (rp, w), 0)
+
         for dr in range(-wr, wr + 1):
             lo = rp + dr
             mx = h_mx[lo:lo + rp]
@@ -75,6 +78,13 @@ def _make_kernel(h: int, w: int, wr: int, wc: int, max_nd_sq: float,
             ny = h_ny[lo:lo + rp]
             nz = h_nz[lo:lo + rp]
             mv = h_mv[lo:lo + rp]
+            # Border masking: when the prev/next tile is a clamped duplicate,
+            # the dr-shifted source row is out of the image -- invalidate it
+            # (this matches window_associate's zero-filled row shifts and
+            # removes the fused backend's border accuracy penalty).
+            src_row = row0 + local_rows + dr
+            row_ok = (src_row >= 0) & (src_row < h)
+            mv = jnp.where(row_ok, mv, 0.0)
             for dc in range(-wc, wc + 1):
                 shift = dc % w  # pltpu.roll requires a non-negative shift
                 cmx = pltpu.roll(mx, shift, 1)
@@ -123,6 +133,12 @@ def _make_kernel(h: int, w: int, wr: int, wc: int, max_nd_sq: float,
                 w2 = jnp.exp(-(res * res) / (sigma * sigma))
             else:
                 w2 = jnp.ones_like(res)
+        if scheme not in ("least_square", "default"):
+            # The IRLS weight is sqrt(C)/max(|r|, eps) (optimization.py:45-50):
+            # residuals below eps get an extra (r/eps)^2 attenuation.
+            eps = 1.0e-4
+            abs_res = jnp.abs(res)
+            w2 = w2 * jnp.where(abs_res < eps, (res / eps) * (res / eps), 1.0)
         w2 = jnp.where(matched, w2, 0.0)
 
         sums = []
