@@ -150,21 +150,30 @@ class GNResult(NamedTuple):
 
 def gauss_newton_step(res: jnp.ndarray, jac: jnp.ndarray,
                       weights: jnp.ndarray,
-                      det_threshold: float = 1.0e-7):
+                      det_threshold: float = 1.0e-7,
+                      damping: float = 0.0):
     """One weighted GN step from residuals (N,), Jacobian (N, 6), weights (N,).
 
     Returns (dx (6,), loss, singular-flag).  The 6x6 normal equations are
     solved in float32 with a Cholesky factorization; singular systems
     (|det| < det_threshold, the reference's guard optimization.py:334-336)
     return dx = 0 and singular=True.
+
+    `damping` adds Levenberg regularization `damping * trace(H)/6 * I` --
+    needed for sparse-map configurations whose normal equations are weakly
+    constrained (exact-precision GN otherwise overshoots along the
+    near-degenerate directions).
     """
     wres = res * weights
     wjac = jac * weights[:, None]
-    # J^T J: (6, N) @ (N, 6) -- an MXU contraction.  HIGHEST precision: the
-    # TPU default bf16 pass costs ~0.4% relative error on the normal
-    # equations, which measurably degrades trajectory accuracy.
-    h = jnp.matmul(wjac.T, wjac, precision=jax.lax.Precision.HIGHEST)
-    g = jnp.matmul(wjac.T, wres, precision=jax.lax.Precision.HIGHEST)
+    # J^T J as an elementwise outer-product reduction (full f32 on the VPU).
+    # The MXU default bf16 pass costs ~0.4% relative error on the normal
+    # equations, which measurably degrades trajectory accuracy; N x 36 MACs
+    # are trivial, so precision is free here.
+    h = jnp.sum(wjac[:, :, None] * wjac[:, None, :], axis=0)
+    g = jnp.sum(wjac * wres[:, None], axis=0)
+    if damping > 0.0:
+        h = h + (damping * jnp.trace(h) / 6.0) * jnp.eye(6, dtype=h.dtype)
     det = jnp.linalg.det(h)
     singular = jnp.abs(det) < det_threshold
     h_safe = jnp.where(singular, jnp.eye(6, dtype=h.dtype), h)

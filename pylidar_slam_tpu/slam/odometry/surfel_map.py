@@ -41,6 +41,7 @@ class SurfelRingMapConfig(LocalMapConfig):
     target_voxel_size: float = 0.4  # matches the reference's best config
     max_neighbor_dist: float = 1.0
     normals_kernel_size: int = 5
+    levenberg_damping: float = 1.0e-3  # sparse-map GN regularization
 
 
 LOCAL_MAP.register("kdtree_local_map", object, SurfelRingMapConfig)
@@ -93,6 +94,7 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
     m_targets = int(map_cfg.target_samples)
     max_nd = float(map_cfg.max_neighbor_dist)
     nks = int(map_cfg.normals_kernel_size)
+    damping = float(map_cfg.levenberg_damping)
 
     def dequant(points):
         if points.dtype == jnp.int16:
@@ -119,7 +121,8 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
             weights = optimization.robust_weights(gn_scheme, res, gn_sigma,
                                                   sq_dists=sq_d, eps=gn_eps)
             weights = jnp.where(ok, weights, 0.0)
-            dx, loss, singular = optimization.gauss_newton_step(res, jac, weights)
+            dx, loss, singular = optimization.gauss_newton_step(
+                res, jac, weights, damping=damping)
 
             delta_norm = jnp.linalg.norm(dx)
             apply = (delta_norm >= threshold_delta_pose) & (~singular)
