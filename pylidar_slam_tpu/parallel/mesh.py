@@ -6,8 +6,9 @@ the TPU build's parallel axes are a new design:
 * ``dp``  -- data parallelism over training batches (PoseNet training),
 * ``sp``  -- point sharding of ICP normal equations (the 6x6 J^T J / J^T r
   reduce perfectly with a single tiny psum per GN iteration),
-* ``tp``  -- tensor parallelism of the regression heads / wide conv channels
-  (small for PoseResNet, wired for completeness and larger future models).
+* ``tp``  -- tensor parallelism of weight feature dimensions (conv kernels,
+  regression heads) via NamedSharding placement (parallel/tp.py), enabled
+  with ``training.tensor_parallel > 1``.
 
 Collectives ride the ICI mesh; there is no host-side communication backend.
 """

@@ -129,15 +129,23 @@ class GraphSLAMConfig(BackendConfig):
     debug: bool = False
 
 
-def _default_information(i: int, j: int) -> np.ndarray:
-    """Reference's default information matrices (backend.py:348-358)."""
+def _odometry_information() -> np.ndarray:
+    """High-confidence odometry edge weight (reference backend.py:348-352)."""
     info = np.eye(6)
-    if abs(i - j) < 10:  # high confidence in odometry
-        info[:3, :3] *= 2.0
-        info[3:, 3:] *= 5.0
-    else:  # low confidence in loop closures
-        info[:3, :3] *= 0.1
-        info[3:, 3:] *= 0.5
+    info[:3, :3] *= 2.0
+    info[3:, 3:] *= 5.0
+    return info
+
+
+def _loop_closure_information() -> np.ndarray:
+    """Low-confidence loop-closure edge weight (reference backend.py:354-358).
+
+    Keyed on constraint *type* (not index distance) so a loop closure between
+    nearby frames still gets loop-closure-grade weight.
+    """
+    info = np.eye(6)
+    info[:3, :3] *= 0.1
+    info[3:, 3:] *= 0.5
     return info
 
 
@@ -185,7 +193,7 @@ class GraphSLAM(Backend):
                 self._poses.append(self._poses[i] @ mat)
                 self.odometry_poses.append(self.odometry_poses[-1] @ mat)
             info = (np.asarray(information) if information is not None
-                    else _default_information(i, i + 1))
+                    else _odometry_information())
             self._edges.append((i, i + 1, mat, info))
 
         for i, mat, information in constraints["se3_absolute"]:
@@ -197,7 +205,7 @@ class GraphSLAM(Backend):
             assert_debug(i < len(self._poses) and j < len(self._poses),
                          f"Loop constraint ({i}, {j}) references unknown poses")
             info = (np.asarray(information) if information is not None
-                    else _default_information(i, j))
+                    else _loop_closure_information())
             self._edges.append((i, j, mat.astype(np.float64), info))
             if abs(i - j) > 2:
                 do_update = True

@@ -330,17 +330,38 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                 tp = timg.reshape(-1, 3)
 
                 zero6 = jnp.zeros(6, tp.dtype)
-                if alignment_mode == "point_to_point_gauss_newton":
+                if alignment_mode == "point_to_point_procrustes":
+                    # Closed-form weighted SVD (Kabsch) fit per iteration --
+                    # the reference's point-to-point alignment with procrustes
+                    # initialization (alignment.py:143-189).  Robust weights
+                    # attenuate outlier correspondences exactly as in the GN
+                    # modes; the solve itself is exact, not a linearized step.
+                    from pylidar_slam_tpu.ops import registration
                     res = optimization.point_to_point_residuals(zero6, tp, ref, ok)
-                    jac = optimization.point_to_point_jacobian(zero6, tp, ref, ok)
+                    weights = optimization.robust_weights(
+                        gn_scheme, res, gn_sigma, sq_dists=sq_d, eps=gn_eps)
+                    wts = weights * weights * ok.astype(tp.dtype)
+                    mat = registration.weighted_procrustes(
+                        ref[None], tp[None], wts[None])[0]
+                    dx = se3.from_pose_matrix(mat[None])[0]
+                    loss = jnp.sum((res * weights) ** 2)
+                    singular = jnp.sum(ok) < 3
+                    dx = jnp.where(singular, jnp.zeros_like(dx), dx)
                 else:
-                    res = optimization.point_to_plane_residuals(zero6, tp, ref,
-                                                                nrm, ok)
-                    jac = optimization.point_to_plane_jacobian(zero6, tp, nrm, ok)
-                weights = optimization.robust_weights(gn_scheme, res, gn_sigma,
-                                                      sq_dists=sq_d, eps=gn_eps)
-                dx, loss, singular = optimization.gauss_newton_step(res, jac,
-                                                                    weights)
+                    if alignment_mode == "point_to_point_gauss_newton":
+                        res = optimization.point_to_point_residuals(zero6, tp,
+                                                                    ref, ok)
+                        jac = optimization.point_to_point_jacobian(zero6, tp,
+                                                                   ref, ok)
+                    else:
+                        res = optimization.point_to_plane_residuals(zero6, tp,
+                                                                    ref, nrm, ok)
+                        jac = optimization.point_to_plane_jacobian(zero6, tp,
+                                                                   nrm, ok)
+                    weights = optimization.robust_weights(
+                        gn_scheme, res, gn_sigma, sq_dists=sq_d, eps=gn_eps)
+                    dx, loss, singular = optimization.gauss_newton_step(
+                        res, jac, weights)
                 ok_count = jnp.sum(ok).astype(jnp.int32)
 
             delta_norm = jnp.linalg.norm(dx)

@@ -301,6 +301,11 @@ class ICPFrameToModel:
         self._map_state = None
         self._delta_since_update: Optional[jnp.ndarray] = None
         self._frame_buffer: list = []  # batched mode: buffered (points, mask)
+        # Batched mode: when True, every flush fetches the (B, 6) params to
+        # the host (ONE transfer per batch) and queues per-frame float64
+        # relative poses for SLAM to feed loop closure / backend / init.
+        self.emit_batch_poses: bool = False
+        self._pending_rposes: list = []
         # Device-side pose log: one (6,) params array per frame.  Fetched in
         # ONE batched transfer at the end of the sequence -- any per-frame
         # device->host fetch pays a full dispatch round-trip and would
@@ -327,6 +332,7 @@ class ICPFrameToModel:
         self._delta_since_update = jnp.eye(4, dtype=jnp.float32)
         self._params_log = []
         self._frame_buffer = []
+        self._pending_rposes = []
         self._iter = 0
         self.last_rpose_device = None
         self.last_result = None
@@ -479,6 +485,9 @@ class ICPFrameToModel:
         if batched:
             self._frame_buffer.append((points, mask))
             self._iter += 1
+            # The device points stay available to downstream consumers (loop
+            # closure) even though the pose arrives only at the next flush.
+            data_dict[self.pointcloud_key()] = points
             if len(self._frame_buffer) >= int(self.config.batch_size):
                 self._flush_batch()
             return
@@ -517,6 +526,10 @@ class ICPFrameToModel:
             self._map_state, self._delta_since_update,
             self.last_rpose_device, pts, msks)
         self._params_log.append(params)
+        if self.emit_batch_poses:
+            # ONE device->host transfer for the whole batch.
+            for p in np.asarray(params, dtype=np.float64):
+                self._pending_rposes.append(_pose_matrix_f64(p))
 
     def _flush_remainder(self):
         """Processes a final partial buffer with the per-frame step (avoids
@@ -527,7 +540,22 @@ class ICPFrameToModel:
                                  points, mask, self.last_rpose_device)
             self.last_rpose_device = rpose
             self._params_log.append(pose_params[None])
+            if self.emit_batch_poses:
+                self._pending_rposes.append(
+                    _pose_matrix_f64(np.asarray(pose_params, np.float64)))
         self._frame_buffer = []
+
+    def drain_batch_results(self) -> list:
+        """Returns (and clears) float64 relative poses for frames whose device
+        computation completed since the last drain (batched mode only)."""
+        out = self._pending_rposes
+        self._pending_rposes = []
+        return out
+
+    def finish(self):
+        """Flushes any partially-filled batch buffer at sequence end."""
+        if self._frame_buffer:
+            self._flush_remainder()
 
     def fetch_params_log(self) -> Optional[np.ndarray]:
         """One batched device->host fetch of all logged pose params (T, 6)."""
@@ -542,10 +570,10 @@ class ICPFrameToModel:
         params = self.fetch_params_log()
         if params is None:
             return None
-        # float64 pose matrices on host (reference keeps a float64 absolute
-        # ledger, slam.py:142-144; relative matrices are rebuilt exactly from
-        # the float32 params the device solved for).
-        return np.stack([_pose_matrix_f64(p) for p in params]).astype(np.float32)
+        # float64 pose matrices on host, kept float64 end-to-end (reference
+        # keeps a float64 absolute ledger, slam.py:142-144; relative matrices
+        # are rebuilt exactly from the float32 params the device solved for).
+        return np.stack([_pose_matrix_f64(p) for p in params])
 
     @property
     def absolute_poses(self) -> list:

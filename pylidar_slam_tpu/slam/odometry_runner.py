@@ -151,6 +151,7 @@ class SLAMRunner:
             finally:
                 if failed:
                     pass
+            slam.finish()  # flush batched odometry + deferred downstream work
             elapsed = time.time() - start
 
             relative = slam.get_relative_poses()

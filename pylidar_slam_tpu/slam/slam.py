@@ -71,6 +71,11 @@ class SLAM:
         self.elapsed_odometry = []
         self.elapsed_loop_closure = []
         self.elapsed_backend = []
+        # Batched odometry: frames whose pose arrives at the next device
+        # flush are deferred here as (frame_idx, data_dict) and their
+        # downstream stages (loop closure / backend) run when the odometry
+        # drains the batch results -- identical constraints to batch_size=1.
+        self._deferred_frames: list = []
         self.__kwargs = kwargs
 
     def init(self):
@@ -106,6 +111,15 @@ class SLAM:
             else:
                 logging.warning("[SLAM] Loop closure configured without a backend")
 
+        self._deferred_frames = []
+        # Batched odometry must surface per-frame poses (one host transfer
+        # per flush) whenever downstream consumers exist.
+        # (CV init chains on device in batched mode, so init alone does not
+        # force the fetch -- only actual host consumers do.)
+        if hasattr(self.odometry, "emit_batch_poses"):
+            self.odometry.emit_batch_poses = (
+                self.loop_closure is not None or self.backend is not None)
+
     def process_next_frame(self, data_dict: dict):
         beginning = time.time()
 
@@ -120,9 +134,9 @@ class SLAM:
         # (slam.py:133, a documented bug) -- fixed here.
         self.elapsed_odometry.append(step_odometry - beginning)
 
-        odometry_pose = None
-        if self.odometry.relative_pose_key() in data_dict:
-            odometry_pose = data_dict[self.odometry.relative_pose_key()]
+        pose_key = self.odometry.relative_pose_key()
+        if pose_key in data_dict:
+            odometry_pose = data_dict[pose_key]
             if self.initialization is not None:
                 # May be a device array -- CV feeds it straight back into the
                 # next jitted step without a host sync.
@@ -131,7 +145,21 @@ class SLAM:
                 # Only materialize on host when downstream modules consume it
                 # (a fetch costs a full device round-trip).
                 odometry_pose = _reproject_rotation(np.asarray(odometry_pose))
+            else:
+                odometry_pose = None
+            self._run_downstream(odometry_pose, data_dict, self._frame_idx,
+                                 step_odometry)
+        elif self.loop_closure is not None or self.backend is not None:
+            # Batched odometry: the pose arrives at the next device flush.
+            self._deferred_frames.append((self._frame_idx, data_dict))
+            self._drain_deferred()
 
+        self._frame_idx += 1
+
+    def _run_downstream(self, odometry_pose: Optional[np.ndarray],
+                        data_dict: dict, frame_idx: int,
+                        step_odometry: float):
+        """Loop closure + backend for one frame with a known odometry pose."""
         if self.loop_closure is not None:
             if odometry_pose is not None:
                 data_dict[self.loop_closure.relative_pose_key()] = odometry_pose
@@ -150,7 +178,7 @@ class SLAM:
 
         if self.backend is not None:
             if odometry_pose is not None:
-                data_dict[self.backend.se3_odometry_constraint(self._frame_idx - 1)] = \
+                data_dict[self.backend.se3_odometry_constraint(frame_idx - 1)] = \
                     (odometry_pose, None)
             init_step = time.time()
             self.backend.next_frame(data_dict)
@@ -160,7 +188,28 @@ class SLAM:
                 self.backend.need_to_update_pose = False
             self.elapsed_backend.append(step_backend - init_step)
 
-        self._frame_idx += 1
+    def _drain_deferred(self):
+        """Runs downstream stages for deferred frames whose batched odometry
+        poses are now available (same constraint stream as batch_size=1)."""
+        if not hasattr(self.odometry, "drain_batch_results"):
+            return
+        for rpose in self.odometry.drain_batch_results():
+            assert_debug(len(self._deferred_frames) > 0,
+                         "Drained more batched poses than deferred frames")
+            frame_idx, data_dict = self._deferred_frames.pop(0)
+            data_dict[self.odometry.relative_pose_key()] = rpose
+            if self.initialization is not None:
+                self.initialization.save_real_motion(rpose, data_dict)
+            odometry_pose = _reproject_rotation(np.asarray(rpose))
+            self._run_downstream(odometry_pose, data_dict, frame_idx,
+                                 time.time())
+
+    def finish(self):
+        """Flushes batched odometry state at sequence end and completes the
+        downstream stages of any still-deferred frames."""
+        if hasattr(self.odometry, "finish"):
+            self.odometry.finish()
+        self._drain_deferred()
 
     def get_relative_poses(self):
         if self.backend is not None:

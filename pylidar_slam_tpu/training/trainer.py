@@ -63,6 +63,7 @@ class ATrainerConfig:
     average_meter_frequency: int = 20
     num_points_padded: int = 131072
     data_parallel: bool = False  # shard batches over all visible devices
+    tensor_parallel: int = 1  # split weight feature dims over a "tp" mesh axis
     seed: int = 0
     # TensorBoard logging (reference trainer.py:466-518): scalar frequencies
     # per split; 0 disables.  Uses torch.utils.tensorboard when importable.
@@ -294,7 +295,34 @@ class PoseNetTrainer:
                                             points, masks, gt, False)
             return loss, logs
 
-        if self.config.data_parallel and len(jax.devices()) > 1:
+        tp = max(1, int(self.config.tensor_parallel or 1))
+        n_dev = len(jax.devices())
+        if tp > 1 and n_dev > 1:
+            # dp x tp mesh: batches sharded over "dp", weight feature dims
+            # over "tp" (parallel/tp.py).  Parameters + optimizer moments are
+            # committed with their shardings once; GSPMD propagates layouts
+            # through the fused step and inserts the collectives on ICI.
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            from pylidar_slam_tpu.parallel.tp import shard_param_tree
+            assert_debug(n_dev % tp == 0,
+                         f"tensor_parallel={tp} does not divide {n_dev} devices")
+            dp = n_dev // tp
+            mesh = Mesh(np.array(jax.devices()).reshape(dp, tp), ("dp", "tp"))
+            self._sharding = NamedSharding(mesh, P("dp"))
+            self.params = shard_param_tree(self.params, mesh)
+            self.batch_stats = shard_param_tree(self.batch_stats, mesh)
+            self.opt_state = shard_param_tree(self.opt_state, mesh)
+            if self.exp_s is not None:
+                self.exp_s = jax.device_put(self.exp_s, NamedSharding(mesh, P()))
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(None, None, None,  # keep committed placements
+                              self._sharding, self._sharding, self._sharding))
+            self._eval_step = jax.jit(
+                eval_step,
+                in_shardings=(None, None,
+                              self._sharding, self._sharding, self._sharding))
+        elif self.config.data_parallel and n_dev > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
             mesh = Mesh(np.array(jax.devices()), ("dp",))
             self._sharding = NamedSharding(mesh, P("dp"))

@@ -91,3 +91,37 @@ def test_window_associate_column_wraparound():
     target[8, 0] = [10.0, 0.1, -2.0]
     ref, nrm, ok, sq_d = am.window_associate(state, jnp.asarray(target), 0, 2, 1.0)
     assert bool(np.asarray(ok).reshape(h, w)[8, 0])
+
+
+def test_procrustes_alignment_recovers_small_pose():
+    """The point_to_point_procrustes alignment mode (closed-form weighted
+    Kabsch per iteration, reference alignment.py:143-189) recovers a small
+    known relative pose on a repeated scan."""
+    from pylidar_slam_tpu.ops import se3
+
+    rng = np.random.default_rng(7)
+    scan = _scan(rng, 4096)
+    cfg = am.AggregatedLocalMapConfig(local_map_size=10, window_rows=1,
+                                      window_cols=2, max_neighbor_dist=1.0)
+    step, first, _ = am.make_agg_icp_frame_step(
+        PROJ, cfg, max_num_alignments=12, reassoc_every=3,
+        threshold_delta_pose=1e-5, threshold_trans=0.05, threshold_rot=0.2,
+        gn_scheme="geman_mcclure", gn_sigma=0.5,
+        alignment_mode="point_to_point_procrustes")
+
+    mask = jnp.ones(scan.shape[0], bool)
+    state = am.init_agg_map(PROJ.height, PROJ.width)
+    state = first(state, jnp.asarray(scan), mask)
+
+    # New frame: sensor moved by rpose => points appear at inv(rpose) @ p
+    params_gt = jnp.asarray([0.08, -0.05, 0.02, 0.004, -0.003, 0.01],
+                            jnp.float32)
+    rpose_gt = se3.build_pose_matrix(params_gt[None])[0]
+    inv_gt = se3.inverse_pose_matrix(rpose_gt[None])[0]
+    scan2 = se3.apply_transformation(jnp.asarray(scan)[None], inv_gt[None])[0]
+
+    delta = jnp.eye(4, dtype=jnp.float32)
+    _, _, rpose, _, diag = step(state, delta, scan2, mask,
+                                jnp.eye(4, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(rpose), np.asarray(rpose_gt),
+                               atol=0.02)

@@ -82,3 +82,27 @@ def test_constraint_regex_protocol():
     assert len(backend.registered_odometry_constraints()) == 1
     assert len(backend.registered_loop_constraints()) == 1
     assert len(backend.registered_absolute_constraints()) == 1
+
+
+def test_default_information_by_constraint_type():
+    """Default information matrices are keyed on constraint TYPE, not index
+    distance (reference backend.py:348-358): a loop closure between nearby
+    frames must still get loop-closure-grade (low) weight."""
+    slam = GraphSLAM(GraphSLAMConfig(online_optimization=False))
+    slam.init()
+    rel = np.eye(4)
+    rel[0, 3] = 1.0
+    for k in range(4):
+        d = {f"se3_odometry_constraint_{k}": (rel, None)}
+        slam.next_frame(d)
+    # A loop closure between NEARBY frames (|i-j| = 3 < 10)
+    d = {"se3_loop_closure_constraint_0_3": (np.eye(4), None)}
+    slam.next_frame(d)
+
+    odo_edges = [e for e in slam._edges if e[1] - e[0] == 1]
+    loop_edges = [e for e in slam._edges if (e[0], e[1]) == (0, 3)]
+    assert len(odo_edges) == 4 and len(loop_edges) == 1
+    np.testing.assert_allclose(np.diag(odo_edges[0][3]),
+                               [2, 2, 2, 5, 5, 5])
+    np.testing.assert_allclose(np.diag(loop_edges[0][3]),
+                               [0.1, 0.1, 0.1, 0.5, 0.5, 0.5])

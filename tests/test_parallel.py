@@ -48,3 +48,64 @@ def test_graft_entry_and_dryrun():
     out = fn(*args)
     jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
     g.dryrun_multichip(8)
+
+
+def test_tp_param_sharding_rule():
+    from jax.sharding import PartitionSpec as P
+    from pylidar_slam_tpu.parallel.tp import leaf_sharding
+
+    mesh = make_mesh([("dp", 4), ("tp", 2)])
+    # Conv kernel: last (feature) dim sharded over tp
+    assert leaf_sharding((3, 3, 8, 16), mesh).spec == P(None, None, None, "tp")
+    # Dense kernel with odd output dim: falls back to the input dim
+    assert leaf_sharding((16, 7), mesh).spec == P("tp", None)
+    # Bias / scalars: replicated
+    assert leaf_sharding((7,), mesh).spec == P()
+    assert leaf_sharding((), mesh).spec == P()
+
+
+def test_tensor_parallel_train_step_matches_single_device(tmp_path):
+    """The dp x tp train step computes the same loss as the plain jit step."""
+    from pylidar_slam_tpu.ops import projection
+    from pylidar_slam_tpu.training.loss_modules import SupervisedLossConfig
+    from pylidar_slam_tpu.training.prediction_modules import PredictionConfig
+    from pylidar_slam_tpu.training.trainer import ATrainerConfig, PoseNetTrainer
+
+    h, w, n_pts = 16, 64, 512
+    proj = projection.SphericalProjection(h, w, 3.0, -24.0)
+
+    class _Loader:
+        def projector(self):
+            return proj
+
+        def sequences(self):
+            return (None, None), (None, None), (None, None), (lambda x: x)
+
+    def build(tp):
+        cfg = ATrainerConfig(train_dir=str(tmp_path / f"tp{tp}"), batch_size=4,
+                             num_points_padded=n_pts, tensor_parallel=tp,
+                             with_tensorboard=False)
+        tr = PoseNetTrainer(cfg, PredictionConfig(), SupervisedLossConfig(),
+                            _Loader())
+        tr.params, tr.batch_stats = tr.prediction.init_params(
+            jax.random.PRNGKey(0), (1, 2, 3, h, w))
+        tr.opt_state = tr.optimizer.init(tr._trainable())
+        tr._build_steps()
+        return tr
+
+    rng = np.random.default_rng(0)
+    points = (rng.normal(size=(4, 2, n_pts, 3)) * 10).astype(np.float32)
+    masks = np.ones((4, 2, n_pts), bool)
+    gt = np.tile(np.eye(4, dtype=np.float32), (4, 2, 1, 1))
+
+    tr1, tr2 = build(1), build(2)
+    out1 = tr1._train_step(tr1._trainable(), tr1.batch_stats, tr1.opt_state,
+                           jnp.asarray(points), jnp.asarray(masks),
+                           jnp.asarray(gt))
+    out2 = tr2._train_step(tr2._trainable(), tr2.batch_stats, tr2.opt_state,
+                           jax.device_put(points, tr2._sharding),
+                           jax.device_put(masks, tr2._sharding),
+                           jax.device_put(gt, tr2._sharding))
+    loss1, loss2 = float(out1[3]), float(out2[3])
+    assert np.isfinite(loss2)
+    np.testing.assert_allclose(loss2, loss1, rtol=1e-4)

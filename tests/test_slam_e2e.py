@@ -84,6 +84,51 @@ def test_surfel_kdtree_odometry_tracks_synthetic(tmp_path):
     assert ate < 0.1, f"surfel odometry ATE too high: {ate}"
 
 
+@pytest.mark.slow
+def test_batched_odometry_matches_per_frame_constraints():
+    """batch_size>1 must feed loop closure + backend the same per-frame
+    constraint stream as batch_size=1 (round-1 weak #4): per-frame poses are
+    fetched once per flush and downstream stages run deferred."""
+    from pylidar_slam_tpu.slam.slam import SLAM, SLAMConfig
+
+    def run(batch_size, n=12):
+        cfg = compose("config", "slam", [
+            "dataset=synthetic", f"dataset.num_frames={n}",
+            "slam/odometry/local_map=aggregated",
+            "slam.odometry.max_num_alignments=6",
+            "slam.odometry.num_points_padded=65536",
+            f"slam.odometry.batch_size={batch_size}",
+            "slam/loop_closure=elevation_image",
+            "slam.loop_closure.local_map_size=4",
+            "slam.loop_closure.overlap=1",
+            "slam.loop_closure.min_id_distance=6",
+            "slam/backend=graph_slam"])
+        loader = SyntheticDatasetLoader(
+            dataclass_from_dict(SyntheticConfig, cfg["dataset"]))
+        slam = SLAM(dataclass_from_dict(SLAMConfig, cfg["slam"]),
+                    projector=loader.projector())
+        slam.init()
+        (datasets, _), _, _, _ = loader.sequences()
+        ds = datasets[0]
+        for i in range(n):
+            slam.process_next_frame(ds[i])
+        slam.finish()
+        return slam
+
+    slam1 = run(1)
+    slam4 = run(4)
+    c1 = slam1.backend.registered_odometry_constraints()
+    c4 = slam4.backend.registered_odometry_constraints()
+    assert len(c1) == len(c4) and len(c1) > 0, \
+        f"constraint count mismatch: {len(c1)} vs {len(c4)}"
+    for (i1, m1, _), (i4, m4, _) in zip(c1, c4):
+        assert i1 == i4
+        np.testing.assert_allclose(m1, m4, atol=1e-4)
+    # Deferred queue fully drained; poses available for every frame.
+    assert len(slam4._deferred_frames) == 0
+    assert len(slam4.get_relative_poses()) == len(slam1.get_relative_poses())
+
+
 def test_cli_scalar_parsing():
     from pylidar_slam_tpu.config import _parse_scalar
     assert _parse_scalar("2e-4") == 2e-4  # YAML 1.1 would keep this a string
