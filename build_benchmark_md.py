@@ -40,6 +40,17 @@ def scan_entries(root_dir: Path):
                     git_hash = (yaml.safe_load(f) or {}).get("git_hash", "unknown")
             except yaml.YAMLError:
                 pass
+        # Resurface the command line from the stamped overrides (reference
+        # build_benchmark_md.py:142-147 reads .hydra/overrides.yaml).
+        command = ""
+        overrides_file = run_dir / ".hydra" / "overrides.yaml"
+        if overrides_file.exists():
+            try:
+                with open(overrides_file) as f:
+                    ovs = yaml.safe_load(f) or []
+                command = "python run.py " + " ".join(str(o) for o in ovs)
+            except yaml.YAMLError:
+                pass
         with open(metrics_file) as f:
             saved_metrics = yaml.safe_load(f) or {}
 
@@ -59,31 +70,37 @@ def scan_entries(root_dir: Path):
             if tr_err is not None:
                 entry[seq] = (tr_err, rot_err, nsecs)
         if entry:
-            yield run_dir, git_hash, entry
+            yield run_dir, git_hash, command, entry
 
 
 def build_markdown(root_dir: str, output: str):
     root = Path(root_dir)
     entries = list(scan_entries(root))
     rows = []
-    all_seqs = sorted({s for _, _, e in entries for s in e})
-    for run_dir, git_hash, entry in entries:
+    all_seqs = sorted({s for _, _, _, e in entries for s in e})
+    for run_dir, git_hash, command, entry in entries:
         avg_tr = 100.0 * float(np.mean([v[0] for v in entry.values()]))
         times = [v[2] for v in entry.values() if v[2] is not None]
         avg_ms = 1000.0 * float(np.mean(times)) if times else -1.0
-        rows.append((avg_tr, avg_ms, run_dir, git_hash, entry))
+        rows.append((avg_tr, avg_ms, run_dir, git_hash, command, entry))
     rows.sort(key=lambda r: r[0])
 
     lines = ["# Benchmark", "",
              "| run | AVG tr_err (%) | time/frame (ms) | git |" +
              "".join(f" {s} |" for s in all_seqs),
              "|---|---|---|---|" + "---|" * len(all_seqs)]
-    for avg_tr, avg_ms, run_dir, git_hash, entry in rows:
+    for avg_tr, avg_ms, run_dir, git_hash, command, entry in rows:
         seq_cells = "".join(
             f" {100.0 * entry[s][0]:.4f} |" if s in entry else " |"
             for s in all_seqs)
         lines.append(f"| {run_dir.relative_to(root)} | {avg_tr:.4f} | "
                      f"{avg_ms:.3f} | {git_hash[:8]} |" + seq_cells)
+    lines.append("")
+    lines.append("Command lines (recovered from .hydra/overrides.yaml):")
+    for avg_tr, _, run_dir, _, command, _ in rows:
+        if command:
+            lines.append(f"- `{run_dir.relative_to(root)}` "
+                         f"(tr_err {avg_tr:.4f}%): `{command}`")
     text = "\n".join(lines) + "\n"
     with open(output, "w") as f:
         f.write(text)

@@ -16,3 +16,16 @@ implementation lives at /root/reference) for TPU hardware:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# TPU MXU matmuls default to a bf16 multiply pass.  Pose compositions (4x4),
+# point transforms and covariance box-filters all route through dots, and the
+# bf16 pass snaps pose translations to a ~1e-2-relative grid (measured: synthetic
+# tr_err 0.56% default vs 0.24% at float32 precision, SAME wall time -- the hot
+# reductions are VPU-bound, not MXU-bound).  float32 (3-pass) is exact for these
+# magnitudes and cheaper than 'highest' (6-pass) on any genuinely large matmul.
+if not _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
+    _jax.config.update("jax_default_matmul_precision", "float32")

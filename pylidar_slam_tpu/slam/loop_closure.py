@@ -19,6 +19,7 @@ import logging
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,6 +93,32 @@ class ElevationImageLoopClosure(LoopClosure):
         super().__init__(config)
         self.clean()
 
+    def init(self):
+        super().init()
+        self._prewarm()
+
+    def _prewarm(self):
+        """Background-compiles the match path (BEV registration + ICP refine)
+        at init: their first-use compile otherwise stalls the pipeline ~30 s
+        right when the first loop candidate appears mid-run."""
+        import threading
+        cfg = self.config
+
+        def warm():
+            try:
+                img = jnp.zeros((cfg.im_size, cfg.im_size), jnp.float32)
+                bev.register_bev(img, img, num_yaw_steps=cfg.num_yaw_steps)
+                if cfg.with_icp_refinement:
+                    pts = jnp.zeros((cfg.icp_num_points, 3), jnp.float32)
+                    msk = jnp.ones((cfg.icp_num_points,), bool)
+                    icp3d.icp_align(
+                        pts, pts, source_mask=msk, target_mask=msk,
+                        max_corr_dist=float(cfg.icp_distance_threshold))
+                self._build_image(np.zeros((1, 3), np.float32))
+            except Exception:
+                pass  # best-effort
+        threading.Thread(target=warm, daemon=True).start()
+
     def clean(self):
         self.current_frame_id = 0
         self.last_inserted_pose = np.eye(4)
@@ -102,7 +129,8 @@ class ElevationImageLoopClosure(LoopClosure):
         self.maps_absolute_poses = np.zeros((0, 4, 4))
         self.maps_frame_ids: List[int] = []
         self.saved_images: List[np.ndarray] = []
-        self.saved_clouds: List[np.ndarray] = []
+        self.saved_clouds: List[np.ndarray] = []  # (padded cloud, mask) pairs
+        self._jit_image = None
 
     # -- persistence of submap positions after optimization ------------------
 
@@ -124,19 +152,43 @@ class ElevationImageLoopClosure(LoopClosure):
     # -- submap machinery ----------------------------------------------------
 
     def _subsample(self, cloud: np.ndarray, cap: int) -> np.ndarray:
-        sampled, _ = np_grid_sample(cloud, self.config.pixel_size * 2)
+        # Drop zero padding rows (batched odometry hands over the compact
+        # upload buffer), then 1-point-per-voxel sample (native O(n) path).
+        cloud = cloud[np.abs(cloud).max(axis=1) > 0]
+        from pylidar_slam_tpu.utils import native
+        keep = native.grid_sample_mask(cloud, self.config.pixel_size * 2)
+        if keep is None:
+            sampled, _ = np_grid_sample(cloud, self.config.pixel_size * 2)
+        else:
+            sampled = cloud[keep]
         if len(sampled) > cap:
             idx = np.linspace(0, len(sampled) - 1, cap).astype(int)
             sampled = sampled[idx]
         return sampled
 
+    def _pad_fixed(self, cloud: np.ndarray, cap: int):
+        """Zero-pads/trims to EXACTLY cap rows (+ validity mask): every JAX
+        call below sees a fixed shape, so nothing ever recompiles mid-run."""
+        out = np.zeros((cap, 3), np.float32)
+        n = min(len(cloud), cap)
+        out[:n] = cloud[:n]
+        mask = np.zeros((cap,), bool)
+        mask[:n] = True
+        return out, mask
+
+    # Fixed capacity of the aggregated submap cloud fed to the BEV rasterizer.
+    _AGG_CAPACITY = 262144
+
     def _build_image(self, aggregated: np.ndarray) -> np.ndarray:
         cfg = self.config
-        img = bev.build_elevation_image(
-            jnp.asarray(aggregated, jnp.float32), None,
-            pixel_size=cfg.pixel_size, size=cfg.im_size,
-            z_min=cfg.z_min, z_max=cfg.z_max)
-        return np.asarray(img)
+        if self._jit_image is None:
+            self._jit_image = jax.jit(lambda p, m: bev.build_elevation_image(
+                p, m, pixel_size=cfg.pixel_size, size=cfg.im_size,
+                z_min=cfg.z_min, z_max=cfg.z_max))
+        padded, mask = self._pad_fixed(aggregated, self._AGG_CAPACITY)
+        # Stays a DEVICE array: matching consumes it on device, so the 1 MB
+        # image never round-trips the host.
+        return self._jit_image(jnp.asarray(padded), jnp.asarray(mask))
 
     def _match_candidates(self, candidate_ids, image, submap_cloud,
                           frame_id: int, data_dict: dict):
@@ -144,7 +196,7 @@ class ElevationImageLoopClosure(LoopClosure):
         for candidate in candidate_ids:
             cd_image = self.saved_images[candidate]
             cd_frame_id = self.maps_frame_ids[candidate]
-            result = bev.register_bev(jnp.asarray(cd_image), jnp.asarray(image),
+            result = bev.register_bev(cd_image, image,
                                       num_yaw_steps=cfg.num_yaw_steps)
             score = float(result.score)
             if score < cfg.min_score:
@@ -157,11 +209,14 @@ class ElevationImageLoopClosure(LoopClosure):
                 result, cfg.pixel_size), dtype=np.float64)
 
             if cfg.with_icp_refinement:
-                cd_cloud = self.saved_clouds[candidate]
+                cd_cloud, cd_mask = self.saved_clouds[candidate]
+                sm_cloud, sm_mask = submap_cloud
                 refined = icp3d.icp_align(
-                    jnp.asarray(submap_cloud, jnp.float32),
+                    jnp.asarray(sm_cloud, jnp.float32),
                     jnp.asarray(cd_cloud, jnp.float32),
                     init_transform=jnp.asarray(transform, jnp.float32),
+                    source_mask=jnp.asarray(sm_mask),
+                    target_mask=jnp.asarray(cd_mask),
                     max_corr_dist=float(cfg.icp_distance_threshold))
                 transform = np.asarray(refined.transform, dtype=np.float64)
 
@@ -201,7 +256,9 @@ class ElevationImageLoopClosure(LoopClosure):
             mid_frame_id = self.current_map_frameids[mid]
             aggregated = se3.transform_pointcloud(
                 aggregated, np.linalg.inv(mid_pose))
-            submap_cloud = self._subsample(aggregated, cfg.icp_num_points)
+            submap_cloud = self._pad_fixed(
+                self._subsample(aggregated, cfg.icp_num_points),
+                cfg.icp_num_points)
 
             image = self._build_image(aggregated)
 

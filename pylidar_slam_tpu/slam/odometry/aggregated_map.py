@@ -265,11 +265,14 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
     max_nd = float(map_cfg.max_neighbor_dist)
     nks = int(map_cfg.normals_kernel_size)
 
-    def dequant(points: jnp.ndarray) -> jnp.ndarray:
-        """Expands int16-quantized uploads back to float32 meters."""
+    def dequant(points: jnp.ndarray, mask: jnp.ndarray):
+        """Expands int16-quantized uploads to float32 meters and derives the
+        validity of the zero padding on device (the host never uploads the
+        mask -- see ICPFrameToModel._compact_upload)."""
         if points.dtype == jnp.int16:
-            return points.astype(jnp.float32) * upload_quantization
-        return points
+            points = points.astype(jnp.float32) * upload_quantization
+        mask = mask & (jnp.max(jnp.abs(points), axis=-1) > 0)
+        return points, mask
 
     def register(state: AggMapState, tgt_pts: jnp.ndarray,
                  tgt_mask: jnp.ndarray, t_init: jnp.ndarray):
@@ -386,7 +389,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
              points: jnp.ndarray, mask: jnp.ndarray, init_rpose: jnp.ndarray):
         """Full frame: register + thresholded insert.  Returns
         (state', delta', rpose, pose_params, diagnostics)."""
-        points = dequant(points)
+        points, mask = dequant(points, mask)
         if deskew:
             # In-step motion de-skew (the device-side equivalent of the
             # reference's Distortion filter, preprocessing.py:144-191, and
@@ -423,7 +426,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
         return state, delta_out, rpose, pose_params, (loss, it, matches, insert)
 
     def first_frame(state: AggMapState, points: jnp.ndarray, mask: jnp.ndarray):
-        points = dequant(points)
+        points, mask = dequant(points, mask)
         vmap, nmap, rimg = build_scan_images(points, mask, proj, nks)
         return insert_scan(state, vmap, nmap, rimg,
                            jnp.eye(4, dtype=points.dtype), proj, max_age)

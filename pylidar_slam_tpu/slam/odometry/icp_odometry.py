@@ -306,6 +306,9 @@ class ICPFrameToModel:
         # relative poses for SLAM to feed loop closure / backend / init.
         self.emit_batch_poses: bool = False
         self._pending_rposes: list = []
+        self._pending_param_fetches: list = []
+        self._device_pad_cache: dict = {}
+        self._ones_mask_arr: Optional[jnp.ndarray] = None
         # Device-side pose log: one (6,) params array per frame.  Fetched in
         # ONE batched transfer at the end of the sequence -- any per-frame
         # device->host fetch pays a full dispatch round-trip and would
@@ -333,7 +336,11 @@ class ICPFrameToModel:
         self._params_log = []
         self._frame_buffer = []
         self._pending_rposes = []
+        self._pending_param_fetches = []
         self._iter = 0
+        if int(self.config.batch_size or 1) > 1 and \
+                self._mode in ("aggregated_local_map", "kdtree_local_map"):
+            self._prewarm_single_step()
         self.last_rpose_device = None
         self.last_result = None
 
@@ -397,33 +404,96 @@ class ICPFrameToModel:
             return pts, mask
         assert_debug(arr.ndim == 2 and arr.shape[1] >= 3,
                      f"Cannot interpret data under '{key}' with shape {arr.shape}")
+        if self._mode in ("aggregated_local_map", "kdtree_local_map"):
+            return self._compact_upload(arr)
+        padded, mask = self._pad_points(arr)
+        return jnp.asarray(padded), jnp.asarray(mask)
+
+    _UPLOAD_BUCKET = 16384
+
+    def _compact_host_buffer(self, arr: np.ndarray) -> np.ndarray:
+        """Scrubs + buckets a raw scan into the minimal host upload buffer.
+
+        Only the VALID points cross the tunnel (bucketed up to a multiple of
+        16384 rows); zero-padding to the static capacity happens on device
+        and the validity mask is derived on device from the zero padding.
+        Optional int16 quantization (config.upload_quantization) halves the
+        bytes (costs ~0.25pt tr_err on noise-free synthetic -- default off).
+        """
+        cap = self.config.num_points_padded
+        pts = arr[:, :3].astype(np.float32)
+        nan_rows = np.isnan(pts).any(axis=1)
+        if nan_rows.any():
+            pts = pts[~nan_rows]
+        n = min(pts.shape[0], cap)
+        bucket = min(cap, max(self._UPLOAD_BUCKET,
+                              -(-n // self._UPLOAD_BUCKET) * self._UPLOAD_BUCKET))
         q = float(self.config.upload_quantization or 0.0)
-        if q > 0.0 and self._mode in ("aggregated_local_map", "kdtree_local_map"):
-            if not self.config.upload_dither:
-                # Native fused scrub+pad+quantize (single C++ pass).
-                from pylidar_slam_tpu.utils import native
-                result = native.quantize_pad(arr, q, self.config.num_points_padded)
-                if result is not None:
-                    quantized, n = result
-                    mask = np.zeros((self.config.num_points_padded,), bool)
-                    mask[:n] = True
-                    return jnp.asarray(quantized), jnp.asarray(mask)
-            padded, mask = self._pad_points(arr)
+        if q > 0.0:
+            chunk = pts[:n]
             if self.config.upload_dither:
                 self._dither_rng = getattr(self, "_dither_rng", None) or \
                     np.random.default_rng(0)
-                padded = padded + (self._dither_rng.random(
-                    padded.shape, dtype=np.float32) - 0.5) * q
-            steps = np.round(padded / q)
+                chunk = chunk + (self._dither_rng.random(
+                    chunk.shape, dtype=np.float32) - 0.5) * q
+            steps = np.round(chunk / q)
             # Points beyond the int16 range are DROPPED (clamping would warp
             # far-field geometry and bias the registration).
-            in_range = (np.abs(steps) <= 32767).all(axis=1)
-            mask = mask & in_range
-            quantized = np.clip(steps, -32767, 32767).astype(np.int16)
-            quantized[~mask] = 0
-            return jnp.asarray(quantized), jnp.asarray(mask)
-        padded, mask = self._pad_points(arr)
-        return jnp.asarray(padded), jnp.asarray(mask)
+            steps[(np.abs(steps) > 32767).any(axis=1)] = 0.0
+            buf = np.zeros((bucket, 3), np.int16)
+            buf[:n] = steps
+        else:
+            buf = np.zeros((bucket, 3), np.float32)
+            buf[:n] = pts[:n]
+        return buf
+
+    def _compact_upload(self, arr: np.ndarray):
+        """Tunnel-frugal host->device upload of a raw scan (upload bandwidth
+        is the measured bottleneck: ~45 MB/s through the tunneled chip)."""
+        buf = self._compact_host_buffer(arr)
+        return self._device_pad(jnp.asarray(buf)), self._ones_mask()
+
+    def _device_pad(self, dev: jnp.ndarray) -> jnp.ndarray:
+        cap = self.config.num_points_padded
+        rows = int(dev.shape[0])
+        if rows >= cap:
+            return dev
+        key = (rows, str(dev.dtype))
+        fn = self._device_pad_cache.get(key)
+        if fn is None:
+            pad = cap - rows
+            fn = jax.jit(lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad, 3), x.dtype)], axis=0))
+            self._device_pad_cache[key] = fn
+        return fn(dev)
+
+    def _ones_mask(self) -> jnp.ndarray:
+        if self._ones_mask_arr is None:
+            self._ones_mask_arr = jnp.ones(
+                (self.config.num_points_padded,), bool)
+        return self._ones_mask_arr
+
+    def _device_pad_batch(self, dev: jnp.ndarray) -> jnp.ndarray:
+        cap = self.config.num_points_padded
+        b, rows = int(dev.shape[0]), int(dev.shape[1])
+        if rows >= cap:
+            return dev
+        key = (b, rows, str(dev.dtype))
+        fn = self._device_pad_cache.get(key)
+        if fn is None:
+            pad = cap - rows
+            fn = jax.jit(lambda x: jnp.concatenate(
+                [x, jnp.zeros((b, pad, 3), x.dtype)], axis=1))
+            self._device_pad_cache[key] = fn
+        return fn(dev)
+
+    def _ones_mask_batch(self, b: int) -> jnp.ndarray:
+        key = ("bmask", b)
+        arr = self._device_pad_cache.get(key)
+        if arr is None:
+            arr = jnp.ones((b, self.config.num_points_padded), bool)
+            self._device_pad_cache[key] = arr
+        return arr
 
     @staticmethod
     def pointcloud_key() -> str:
@@ -472,6 +542,28 @@ class ICPFrameToModel:
 
     def _process_next_frame_agg(self, data_dict: dict):
         batched = int(self.config.batch_size or 1) > 1
+
+        if batched and self._iter > 0:
+            # Batched fast path: keep the frame as a compact HOST buffer; the
+            # whole batch crosses the tunnel as ONE stacked transfer at flush
+            # (8 separate uploads measurably fragment tunnel bandwidth).
+            raw = data_dict.get(self.config.data_key)
+            arr = None if isinstance(raw, jnp.ndarray) else np.asarray(raw)
+            if arr is not None and arr.ndim == 2 and arr.shape[1] >= 3:
+                entry = self._compact_host_buffer(arr)
+                pc_out = entry
+            else:  # vertex-map / device input: fall back to device arrays
+                entry = self._read_points(data_dict)
+                pc_out = entry[0]
+            self._frame_buffer.append(entry)
+            self._iter += 1
+            # The points stay available to downstream consumers (loop
+            # closure) even though the pose arrives only at the next flush.
+            data_dict[self.pointcloud_key()] = pc_out
+            if len(self._frame_buffer) >= int(self.config.batch_size):
+                self._flush_batch()
+            return
+
         points, mask = self._read_points(data_dict)
 
         if self._iter == 0:
@@ -480,16 +572,6 @@ class ICPFrameToModel:
             self._params_log.append(jnp.zeros((1, 6), dtype=jnp.float32))
             self._iter += 1
             data_dict[self.relative_pose_key()] = self.last_rpose_device
-            return
-
-        if batched:
-            self._frame_buffer.append((points, mask))
-            self._iter += 1
-            # The device points stay available to downstream consumers (loop
-            # closure) even though the pose arrives only at the next flush.
-            data_dict[self.pointcloud_key()] = points
-            if len(self._frame_buffer) >= int(self.config.batch_size):
-                self._flush_batch()
             return
 
         init_np = data_dict.get("init_rpose", None)
@@ -516,8 +598,19 @@ class ICPFrameToModel:
         """Runs the buffered frames through one batched device execution."""
         if not self._frame_buffer:
             return
-        pts = jnp.stack([p for p, _ in self._frame_buffer])
-        msks = jnp.stack([m for _, m in self._frame_buffer])
+        if isinstance(self._frame_buffer[0], np.ndarray):
+            # ONE stacked host->device transfer for the whole batch; pad to
+            # the static capacity on device.
+            bufs = self._frame_buffer
+            rows = max(b.shape[0] for b in bufs)
+            stacked = np.zeros((len(bufs), rows, 3), bufs[0].dtype)
+            for i, b in enumerate(bufs):
+                stacked[i, :b.shape[0]] = b
+            pts = self._device_pad_batch(jnp.asarray(stacked))
+            msks = self._ones_mask_batch(len(bufs))
+        else:
+            pts = jnp.stack([p for p, _ in self._frame_buffer])
+            msks = jnp.stack([m for _, m in self._frame_buffer])
         self._frame_buffer = []
         if self.last_rpose_device is None:
             self.last_rpose_device = jnp.eye(4, dtype=jnp.float32)
@@ -527,13 +620,31 @@ class ICPFrameToModel:
             self.last_rpose_device, pts, msks)
         self._params_log.append(params)
         if self.emit_batch_poses:
-            # ONE device->host transfer for the whole batch.
-            for p in np.asarray(params, dtype=np.float64):
-                self._pending_rposes.append(_pose_matrix_f64(p))
+            # Queue the DEVICE array; the host fetch happens one flush later
+            # (drain_batch_results).  The async copy enqueues the D2H right
+            # behind this batch's compute, so the later np.asarray returns
+            # without draining the device queue.
+            try:
+                params.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending_param_fetches.append(params)
 
     def _flush_remainder(self):
         """Processes a final partial buffer with the per-frame step (avoids
         retracing the batched executable for a different batch size)."""
+        # Drain any still-queued batched fetches FIRST: _pending_rposes must
+        # stay in frame order, and the remainder frames come after every
+        # already-flushed batch.
+        while self._pending_param_fetches:
+            params = self._pending_param_fetches.pop(0)
+            for p in np.asarray(params, dtype=np.float64):
+                self._pending_rposes.append(_pose_matrix_f64(p))
+        entries = [
+            (self._device_pad(jnp.asarray(e)), self._ones_mask())
+            if isinstance(e, np.ndarray) else e
+            for e in self._frame_buffer]
+        self._frame_buffer = entries
         for points, mask in self._frame_buffer:
             (self._map_state, self._delta_since_update, rpose, pose_params,
              _diag) = self._step(self._map_state, self._delta_since_update,
@@ -545,9 +656,19 @@ class ICPFrameToModel:
                     _pose_matrix_f64(np.asarray(pose_params, np.float64)))
         self._frame_buffer = []
 
-    def drain_batch_results(self) -> list:
+    def drain_batch_results(self, final: bool = False) -> list:
         """Returns (and clears) float64 relative poses for frames whose device
-        computation completed since the last drain (batched mode only)."""
+        computation completed since the last drain (batched mode only).
+
+        Keeps the most recent flushes in flight (a host fetch costs ~200 ms
+        on the tunneled chip while the queue is busy, so downstream consumers
+        run a few batches behind) unless `final` is True.
+        """
+        keep_in_flight = 0 if final else 4
+        while len(self._pending_param_fetches) > keep_in_flight:
+            params = self._pending_param_fetches.pop(0)
+            for p in np.asarray(params, dtype=np.float64):
+                self._pending_rposes.append(_pose_matrix_f64(p))
         out = self._pending_rposes
         self._pending_rposes = []
         return out
@@ -556,6 +677,32 @@ class ICPFrameToModel:
         """Flushes any partially-filled batch buffer at sequence end."""
         if self._frame_buffer:
             self._flush_remainder()
+
+    def _prewarm_single_step(self):
+        """Background-compiles the per-frame step used by _flush_remainder so
+        sequence end does not pay a multi-second first-call compile."""
+        if getattr(self, "_prewarmed", False):
+            return
+        self._prewarmed = True
+        import threading
+
+        map_state = self._map_state
+        cap = self.config.num_points_padded
+        dtype = jnp.int16 if float(self.config.upload_quantization or 0.0) > 0 \
+            else jnp.float32
+
+        def warm():
+            try:
+                eye = jnp.eye(4, dtype=jnp.float32)
+                pts = jnp.zeros((cap, 3), dtype)
+                msk = jnp.ones((cap,), bool)
+                # A real call on a THROWAWAY copy populates the jit cache
+                # (map_state arg is donated, so pass a fresh tree copy).
+                state = jax.tree.map(jnp.array, map_state)
+                self._step(state, eye, pts, msk, eye)
+            except Exception:
+                pass  # prewarm is best-effort
+        threading.Thread(target=warm, daemon=True).start()
 
     def fetch_params_log(self) -> Optional[np.ndarray]:
         """One batched device->host fetch of all logged pose params (T, 6)."""

@@ -96,10 +96,13 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
     nks = int(map_cfg.normals_kernel_size)
     damping = float(map_cfg.levenberg_damping)
 
-    def dequant(points):
+    def dequant(points, mask):
+        """int16 expansion + device-side validity of the zero padding (the
+        host never uploads the mask -- ICPFrameToModel._compact_upload)."""
         if points.dtype == jnp.int16:
-            return points.astype(jnp.float32) * upload_quantization
-        return points
+            points = points.astype(jnp.float32) * upload_quantization
+        mask = mask & (jnp.max(jnp.abs(points), axis=-1) > 0)
+        return points, mask
 
     def register(state: SurfelMapState, targets: jnp.ndarray,
                  t_valid: jnp.ndarray, t_init: jnp.ndarray):
@@ -179,7 +182,7 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
 
     def step(state: SurfelMapState, delta_since_update: jnp.ndarray,
              points: jnp.ndarray, mask: jnp.ndarray, init_rpose: jnp.ndarray):
-        points = dequant(points)
+        points, mask = dequant(points, mask)
         targets, _, t_valid = _grid_sample_fixed(
             points, mask, float(map_cfg.target_voxel_size), m_targets)
 
@@ -208,7 +211,7 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
 
     def first_frame(state: SurfelMapState, points: jnp.ndarray,
                     mask: jnp.ndarray):
-        points = dequant(points)
+        points, mask = dequant(points, mask)
         return insert(state, points, mask, jnp.eye(4, dtype=jnp.float32))
 
     def batch_step(state, delta_since_update, last_rpose,

@@ -188,12 +188,14 @@ class SLAM:
                 self.backend.need_to_update_pose = False
             self.elapsed_backend.append(step_backend - init_step)
 
-    def _drain_deferred(self):
+    def _drain_deferred(self, final: bool = False):
         """Runs downstream stages for deferred frames whose batched odometry
-        poses are now available (same constraint stream as batch_size=1)."""
+        poses are now available (same constraint stream as batch_size=1).
+        Non-final drains lag one device batch so the host fetch never blocks
+        on in-flight compute."""
         if not hasattr(self.odometry, "drain_batch_results"):
             return
-        for rpose in self.odometry.drain_batch_results():
+        for rpose in self.odometry.drain_batch_results(final=final):
             assert_debug(len(self._deferred_frames) > 0,
                          "Drained more batched poses than deferred frames")
             frame_idx, data_dict = self._deferred_frames.pop(0)
@@ -209,7 +211,7 @@ class SLAM:
         downstream stages of any still-deferred frames."""
         if hasattr(self.odometry, "finish"):
             self.odometry.finish()
-        self._drain_deferred()
+        self._drain_deferred(final=True)
 
     def get_relative_poses(self):
         if self.backend is not None:

@@ -27,12 +27,75 @@ def run_slam(cfg: dict):
     return metrics
 
 
+def _stamp_hydra_dir(log_dir: str, overrides: list):
+    """Writes .hydra/overrides.yaml so sweep tooling (build_benchmark_md.py)
+    can resurface the command line (reference keeps the same contract)."""
+    import yaml
+    hydra_dir = Path(log_dir) / ".hydra"
+    hydra_dir.mkdir(parents=True, exist_ok=True)
+    with open(hydra_dir / "overrides.yaml", "w") as f:
+        yaml.safe_dump(list(overrides), f)
+
+
+def _split_sweep(argv: list):
+    """Separates sweep overrides (key=v1,v2,...) from fixed ones."""
+    keys, value_sets, fixed = [], [], []
+    for ov in argv:
+        if "=" not in ov:
+            raise ValueError(f"Malformed override '{ov}' (expected key=value)")
+        key, value = ov.split("=", 1)
+        if "," in value and not value.startswith(("[", "{", '"', "'")):
+            keys.append(key)
+            value_sets.append(value.split(","))
+        else:
+            fixed.append(ov)
+    return keys, value_sets, fixed
+
+
+def run_multirun(config_dir: Path, argv: list):
+    """Hydra-style `-m` sweep: cartesian product of comma-separated override
+    values, one dated job dir per combination (reference docs/benchmark.md
+    sweeps + config/hydra/output/slam.yaml templating)."""
+    import datetime
+    import itertools
+
+    keys, value_sets, fixed = _split_sweep(argv)
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d/%H-%M-%S")
+    sweep_root = Path(".outputs/multirun") / stamp
+    # An explicit log_dir override becomes the sweep root instead.
+    for ov in list(fixed):
+        if ov.startswith("log_dir="):
+            sweep_root = Path(ov.split("=", 1)[1])
+            fixed.remove(ov)
+
+    combos = list(itertools.product(*value_sets)) if keys else [()]
+    print(f"[multirun] {len(combos)} jobs -> {sweep_root}")
+    results = []
+    for idx, combo in enumerate(combos):
+        job_overrides = fixed + [f"{k}={v}" for k, v in zip(keys, combo)]
+        job_dir = sweep_root / str(idx)
+        cfg = compose(str(config_dir), "slam",
+                      job_overrides + [f"log_dir={job_dir}"])
+        _stamp_hydra_dir(str(job_dir), job_overrides)
+        print(f"[multirun] job {idx}: {' '.join(job_overrides)}")
+        results.append(run_slam(cfg))
+    return results
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
     config_dir = Path(__file__).parent / "config"
+    multirun = False
+    for flag in ("-m", "--multirun"):
+        while flag in argv:
+            argv.remove(flag)
+            multirun = True
+    if multirun:
+        return run_multirun(config_dir, argv)
     cfg = compose(str(config_dir), "slam", argv)
+    _stamp_hydra_dir(str(cfg.get("log_dir", ".")), argv)
     return run_slam(cfg)
 
 
