@@ -68,12 +68,20 @@ def _grid_sample_fixed(points: jnp.ndarray, mask: jnp.ndarray,
                        voxel_size: float, capacity: int):
     """Grid-samples to EXACTLY `capacity` slots (valid-marked), jit-safe.
 
-    Picks the first point of each voxel (reference grid_sample semantics),
-    then compacts the winners to the front via argsort on (not-kept).
+    Picks the first point of each voxel (reference grid_sample semantics).
+    When there are more winners than `capacity`, the kept subset is chosen
+    by VOXEL-HASH order -- a deterministic pseudo-random spatial subsample.
+    (Scan order would keep only the first image rows: an 87%-biased drop at
+    S=1024 / 0.6 m on a 64x1024 synthetic scan, measured as the main source
+    of the round-1 'kdtree' fragility.)
     """
     keep = voxel.grid_sample_mask(points, voxel_size, mask=mask)
-    order = jnp.argsort(~keep, stable=True)  # winners first, original order
-    idx = order[:capacity]
+    coords = jnp.floor(points / voxel_size).astype(jnp.int32)
+    h = (coords[:, 0] * 73856093) ^ (coords[:, 1] * 19349669) ^ \
+        (coords[:, 2] * 83492791)
+    h = h.astype(jnp.uint32) >> 1  # non-negative priority
+    priority = jnp.where(keep, h, jnp.uint32(0xFFFFFFFF))
+    idx = jnp.argsort(priority)[:capacity]
     sel_valid = keep[idx]
     return points[idx], idx, sel_valid
 

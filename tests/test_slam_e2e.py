@@ -81,7 +81,10 @@ def test_surfel_kdtree_odometry_tracks_synthetic(tmp_path):
     rel_pred = ev.compute_relative_poses(absolute)
     rel_gt = runner.dataset_loader.get_ground_truth("synth_00")[:14]
     ate, _ = ev.compute_ate(rel_pred, rel_gt)
-    assert ate < 0.1, f"surfel odometry ATE too high: {ate}"
+    # Regression pin for the hash-ordered uniform grid-sample subsetting
+    # (round-1's scan-order truncation kept a spatially biased 13% of the
+    # winners and made this map window-fragile; measured ATE is ~0.006).
+    assert ate < 0.02, f"surfel odometry ATE too high: {ate}"
 
 
 @pytest.mark.slow
