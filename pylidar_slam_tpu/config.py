@@ -247,6 +247,7 @@ class ConfigLoader:
         # CLI group overrides replace defaults-list choices
         overrides = list(overrides or [])
         dot_overrides = []
+        cli_groups = set()
         for ov in overrides:
             if "=" not in ov:
                 raise ValueError(f"Malformed override '{ov}' (expected key=value)")
@@ -256,14 +257,40 @@ class ConfigLoader:
             if "." not in key and (self.root / key.replace(".", "/")).is_dir():
                 # group override, e.g. `slam/odometry=icp_odometry`
                 group_choices[key] = value
+                cli_groups.add(key)
             elif "/" in key:
                 group_choices[key] = value
+                cli_groups.add(key)
             else:
                 dot_overrides.append((key, _parse_scalar(value)))
 
-        for group, option in group_choices.items():
+        # Nested defaults (hydra-style): a group option file may carry its own
+        # `defaults` list of subgroup choices (e.g. slam/odometry/ct_icp.yaml
+        # selecting its local_map + alignment).  An explicit parent choice
+        # overrides the root defaults for those subgroups; CLI subgroup
+        # overrides still win.
+        worklist = list(group_choices.items())
+        loaded_nodes: Dict[str, Dict[str, Any]] = {}
+        while worklist:
+            group, option = worklist.pop(0)
             node = self._load_group_option(group, str(option))
-            _deep_set(cfg, group.replace("/", "."), node)
+            nested = []
+            if isinstance(node, dict) and "defaults" in node:
+                node = dict(node)  # never mutate a ConfigStore-backed node
+                nested = node.pop("defaults")
+            loaded_nodes[group] = node
+            for entry in nested:
+                if not isinstance(entry, dict):
+                    continue
+                (sub, sub_opt), = entry.items()
+                full = sub if "/" in sub else f"{group}/{sub}"
+                if full in cli_groups:
+                    continue
+                group_choices[full] = sub_opt
+                worklist.append((full, sub_opt))
+
+        for group in group_choices:
+            _deep_set(cfg, group.replace("/", "."), loaded_nodes[group])
 
         # 2. the root file's own content merges on top of group defaults
         cfg = _deep_merge(cfg, raw)

@@ -26,9 +26,8 @@ _SENSOR_TO_VEHICLE = np.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0],
 
 def _pose_from_params(params: np.ndarray) -> np.ndarray:
     """6-param (tx ty tz ex ey ez) -> (4, 4) (euler xyz convention)."""
-    import jax.numpy as jnp
     mat = np.eye(4)
-    mat[:3, :3] = np.asarray(rot_ops.euler_to_mat(jnp.asarray(params[3:6][None])))[0]
+    mat[:3, :3] = rot_ops.np_euler_to_mat(params[3:6][None])[0]
     mat[:3, 3] = params[:3]
     return mat
 

@@ -105,9 +105,8 @@ class KITTI360Sequence:
         scan = np.fromfile(str(scan_file), dtype=np.float32).reshape(-1, 4)[:, :3]
         data_dict = {self.numpy_pc_key: scan}
         # Azimuth-estimated timestamps (reference kitti_360:181)
-        import jax.numpy as jnp
-        ts = np.asarray(proj_ops.estimate_timestamps(
-            jnp.asarray(scan), clockwise=True, phi_0=np.pi))
+        ts = proj_ops.np_estimate_timestamps(scan, clockwise=True,
+                                             phi_0=np.pi)
         data_dict[f"{self.numpy_pc_key}_timestamps"] = ts
         if self.gt_poses is not None:
             data_dict[self.gt_key] = self.gt_poses[idx]

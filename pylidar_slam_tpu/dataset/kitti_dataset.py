@@ -95,14 +95,26 @@ class KITTIOdometrySequence:
     def __init__(self, sequences_root_dir: str, sequence_id: str,
                  numpy_pc_key: str = "numpy_pc",
                  ground_truth_channel: Optional[str] = "absolute_pose_gt",
-                 with_numpy_pc: bool = True):
+                 with_numpy_pc: bool = True,
+                 raw_dir: Optional[str] = None):
         self.sequence_dir = Path(sequences_root_dir)
         self.sequence_id = sequence_id
         self.id = sequence_id
         self.numpy_pc_key = numpy_pc_key
         self.ground_truth_channel = ground_truth_channel
-        self.size = KITTI_SEQUENCE_INFO[sequence_id][2]
+        drive, self.raw_start, self.size = KITTI_SEQUENCE_INFO[sequence_id]
         self.velodyne_path = self.sequence_dir / "sequences" / sequence_id / "velodyne"
+
+        # Raw-drive track (reference kitti_dataset.py:251-274): unrectified
+        # scans + synthetic azimuth timestamps for de-skew experiments.
+        self.raw_velodyne_path: Optional[Path] = None
+        if raw_dir is not None and drive is not None:
+            candidate = Path(str(raw_dir)) / drive / "velodyne_points" / "data"
+            if not candidate.exists():
+                candidate = Path(str(raw_dir)) / f"{drive}_sync" / \
+                    "velodyne_points" / "data"
+            if candidate.exists():
+                self.raw_velodyne_path = candidate
 
         calib_path = self.sequence_dir / "sequences" / sequence_id / "calib.txt"
         self.calib_tr: Optional[np.ndarray] = None
@@ -143,9 +155,34 @@ class KITTIOdometrySequence:
         else:
             scan = kitti_read_scan(str(scan_path))
             data_dict[self.numpy_pc_key] = correct_scan(scan)
+        if self.raw_velodyne_path is not None:
+            raw = self._read_raw_scan(idx)
+            if raw is not None:
+                from pylidar_slam_tpu.ops import projection as proj_ops
+                data_dict["raw_numpy_pc"] = raw
+                # Synthetic per-point timestamps in [-0.5, 0.5] around
+                # mid-scan from azimuth (the reference derives the same from
+                # vertex-map columns, kitti_dataset.py:262-268).
+                data_dict["raw_numpy_pc_timestamps"] = (
+                    proj_ops.np_estimate_timestamps(
+                        raw, clockwise=True, phi_0=np.pi) - 0.5
+                ).astype(np.float32)
         if self.ground_truth_channel and self.poses_gt is not None:
             data_dict[self.ground_truth_channel] = self.poses_gt[idx]
         return data_dict
+
+    def _read_raw_scan(self, idx: int) -> Optional[np.ndarray]:
+        """Unrectified raw-drive scan (txt or bin, whichever the raw dump
+        provides)."""
+        stem = f"{self.raw_start + idx:010}"
+        txt = self.raw_velodyne_path / f"{stem}.txt"
+        if txt.exists():
+            return np.loadtxt(str(txt), dtype=np.float32)[:, :3]
+        binf = self.raw_velodyne_path / f"{stem}.bin"
+        if binf.exists():
+            return np.fromfile(str(binf),
+                               dtype=np.float32).reshape(-1, 4)[:, :3]
+        return None
 
 
 @dataclass
@@ -200,7 +237,8 @@ class KITTIDatasetLoader(DatasetLoader):
             str(self.odometry_sequence_dir), seq_id,
             numpy_pc_key=self.config.numpy_pc_key,
             ground_truth_channel=self.config.absolute_gt_key,
-            with_numpy_pc=self.config.with_numpy_pc) for seq_id in sequence_ids]
+            with_numpy_pc=self.config.with_numpy_pc,
+            raw_dir=self.config.kitti_raw_dir) for seq_id in sequence_ids]
 
     def sequences(self):
         train, evals, test = (self.config.train_sequences,

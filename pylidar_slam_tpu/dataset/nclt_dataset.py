@@ -46,8 +46,7 @@ def read_velodyne_file(file: str) -> np.ndarray:
 
 def _euler_zyx_to_mat(euler_rph: np.ndarray) -> np.ndarray:
     """NCLT GT euler (r, p, h) -> rotation Rz(h) Ry(p) Rx(r) (batched)."""
-    import jax.numpy as jnp
-    return np.asarray(rot_ops.euler_to_mat(jnp.asarray(euler_rph)))
+    return rot_ops.np_euler_to_mat(euler_rph)
 
 
 def interpolate_ground_truth(ground_truth: np.ndarray, timestamps: np.ndarray,

@@ -18,12 +18,11 @@ from pylidar_slam_tpu.ops import se3
 from pylidar_slam_tpu.ops.projection import SphericalProjection
 from pylidar_slam_tpu.utils import assert_debug
 
-import jax.numpy as jnp
 
 
 def _quat_xyzw_to_mat(q: np.ndarray) -> np.ndarray:
     wxyz = np.concatenate([q[..., 3:4], q[..., :3]], axis=-1)
-    return np.asarray(se3.quat_to_mat(jnp.asarray(wxyz)))
+    return se3.np_quat_to_mat(wxyz)
 
 
 def read_ground_truth(file_path: str):

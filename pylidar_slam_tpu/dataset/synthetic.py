@@ -22,6 +22,7 @@ import numpy as np
 from pylidar_slam_tpu.config import MISSING
 from pylidar_slam_tpu.dataset import DATASET
 from pylidar_slam_tpu.dataset.configuration import DatasetConfig, DatasetLoader
+from pylidar_slam_tpu.ops import se3
 from pylidar_slam_tpu.ops.projection import SphericalProjection
 
 
@@ -40,6 +41,12 @@ class SyntheticConfig(DatasetConfig):
     max_range: float = 70.0
     noise_std: float = 0.008  # per-point range noise (m)
     speed: float = 1.1  # meters / frame (KITTI ~ 10 Hz * 11 m/s)
+    # Rolling-shutter simulation: when true, each azimuth column is raycast
+    # from the pose interpolated between this frame's pose and the next
+    # (alpha = col / width, matching ops/projection.estimate_timestamps with
+    # phi_0=pi, clockwise).  GT poses stay the scan-START poses.
+    skew: bool = False
+    turn_rate: float = 0.03  # max |yaw rate| rad/frame of the trajectory
     train_sequences: list = field(default_factory=lambda: ["synth_00"])
     eval_sequences: list = field(default_factory=lambda: ["synth_00"])
     test_sequences: list = field(default_factory=lambda: ["synth_00"])
@@ -122,7 +129,8 @@ class SyntheticWorld:
         return t_best
 
 
-def make_trajectory(num_frames: int, speed: float, seed: int) -> np.ndarray:
+def make_trajectory(num_frames: int, speed: float, seed: int,
+                    turn_rate: float = 0.03) -> np.ndarray:
     """A smooth (N, 4, 4) trajectory with gentle turns (float64 absolutes)."""
     rng = np.random.default_rng(seed + 1)
     yaw_rate = 0.0
@@ -130,8 +138,8 @@ def make_trajectory(num_frames: int, speed: float, seed: int) -> np.ndarray:
     pos = np.zeros(3)
     poses = [np.eye(4)]  # first pose is the identity (KITTI GT convention)
     for i in range(num_frames - 1):
-        yaw_rate = 0.95 * yaw_rate + 0.006 * rng.standard_normal()
-        yaw_rate = np.clip(yaw_rate, -0.03, 0.03)
+        yaw_rate = 0.95 * yaw_rate + 0.2 * turn_rate * rng.standard_normal()
+        yaw_rate = np.clip(yaw_rate, -turn_rate, turn_rate)
         yaw += yaw_rate
         direction = np.array([math.cos(yaw), math.sin(yaw), 0.0])
         pos = pos + speed * direction
@@ -152,7 +160,8 @@ class SyntheticSequence:
         self.cfg = cfg
         self.id = sequence_id
         self.world = SyntheticWorld(cfg, seed)
-        self.poses_gt = make_trajectory(cfg.num_frames, cfg.speed, seed)
+        self.poses_gt = make_trajectory(cfg.num_frames, cfg.speed, seed,
+                                        turn_rate=float(cfg.turn_rate))
         self._noise_rng_seed = seed + 2
 
         h, w = cfg.lidar_height, cfg.lidar_width
@@ -177,8 +186,25 @@ class SyntheticSequence:
     def __getitem__(self, idx) -> dict:
         pose = self.poses_gt[idx]
         n = self.dirs.shape[0]
-        world_dirs = self.dirs @ pose[:3, :3].T
-        origins = np.broadcast_to(pose[:3, 3], (n, 3))
+        if self.cfg.skew:
+            # Rolling shutter: column c is captured at alpha = c / W along the
+            # motion from this pose to the next.  Returned point coords are in
+            # the PER-COLUMN sensor frame (p = range * dir_sensor), exactly
+            # what azimuth-based de-skew (slerp to scan start) must invert.
+            nxt = self.poses_gt[min(idx + 1, len(self.poses_gt) - 1)]
+            rel = np.linalg.solve(pose, nxt)  # scan-start -> scan-end motion
+            w = self.cfg.lidar_width
+            interp = se3.PosesInterpolator(
+                np.stack([np.eye(4), rel]), np.array([0.0, 1.0]))
+            col_poses = interp(np.arange(w) / w)  # (W, 4, 4)
+            col_of_ray = np.tile(np.arange(w), self.cfg.lidar_height)
+            t_alpha = pose @ col_poses  # (W, 4, 4) absolute per-column poses
+            per_ray = t_alpha[col_of_ray]
+            world_dirs = np.einsum("nij,nj->ni", per_ray[:, :3, :3], self.dirs)
+            origins = per_ray[:, :3, 3]
+        else:
+            world_dirs = self.dirs @ pose[:3, :3].T
+            origins = np.broadcast_to(pose[:3, 3], (n, 3))
         ranges = self.world.raycast(origins, world_dirs, self.cfg.max_range)
         hit = np.isfinite(ranges)
         rng = np.random.default_rng(self._noise_rng_seed + idx)

@@ -113,11 +113,9 @@ def nwu_pose_from_gps(llu: np.ndarray, ypr_deg: np.ndarray,
     Returns (pose (4, 4), enu position) -- pass the first enu back as
     `init_enu` for subsequent calls.
     """
-    import jax.numpy as jnp
     yaw, pitch, roll = np.deg2rad(ypr_deg)
     # R_enu = Rz(-yaw) Ry(pitch) Rx(roll)
-    r_enu = np.asarray(rot_ops.euler_to_mat(
-        jnp.asarray([[roll, pitch, -yaw]], jnp.float64)))[0]
+    r_enu = rot_ops.np_euler_to_mat(np.array([[roll, pitch, -yaw]]))[0]
     ecef = llu_to_ecef(llu)
     enu = ecef_to_enu(init_llu, ecef)
     if init_enu is None:

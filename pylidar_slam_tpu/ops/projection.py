@@ -120,6 +120,18 @@ def vertex_map_to_points(vmap: jnp.ndarray) -> jnp.ndarray:
     return vmap.reshape(*shape[:-3], shape[-3] * shape[-2], shape[-1])
 
 
+def np_estimate_timestamps(points, clockwise: bool = True,
+                           phi_0: float = 0.0):
+    """Pure-numpy ``estimate_timestamps`` for per-frame host loader paths
+    (eager jnp would dispatch to the tunneled device per call)."""
+    import numpy as np
+    phis = np.arctan2(points[..., 1], points[..., 0]) * (-1.0 if clockwise else 1.0)
+    phis = phis - phi_0
+    phis = np.where(phis < 0.0, phis + 2.0 * math.pi, phis)
+    lo, hi = phis.min(), phis.max()
+    return (phis - lo) / max(hi - lo, 1e-12)
+
+
 def estimate_timestamps(points: jnp.ndarray, clockwise: bool = True,
                         phi_0: float = 0.0, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Azimuth-based per-point timestamp estimation for rotating LiDARs.

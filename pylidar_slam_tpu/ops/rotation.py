@@ -81,6 +81,27 @@ def euler_to_mat(angles: jnp.ndarray) -> jnp.ndarray:
     return _rz(c[..., 2], s[..., 2]) @ _ry(c[..., 1], s[..., 1]) @ _rx(c[..., 0], s[..., 0])
 
 
+def np_euler_to_mat(angles) -> "np.ndarray":
+    """Pure-numpy ``euler_to_mat`` (``R = Rz @ Ry @ Rx``) for host-side
+    dataset code -- eager jnp ops dispatch to the (tunneled) device per call
+    and cost milliseconds each in per-frame loader paths."""
+    import numpy as np
+    angles = np.asarray(angles, np.float64)
+    cx, cy, cz = np.cos(angles[..., 0]), np.cos(angles[..., 1]), np.cos(angles[..., 2])
+    sx, sy, sz = np.sin(angles[..., 0]), np.sin(angles[..., 1]), np.sin(angles[..., 2])
+    out = np.empty(angles.shape[:-1] + (3, 3), np.float64)
+    out[..., 0, 0] = cz * cy
+    out[..., 0, 1] = cz * sy * sx - sz * cx
+    out[..., 0, 2] = cz * sy * cx + sz * sx
+    out[..., 1, 0] = sz * cy
+    out[..., 1, 1] = sz * sy * sx + cz * cx
+    out[..., 1, 2] = sz * sy * cx - cz * sx
+    out[..., 2, 0] = -sy
+    out[..., 2, 1] = cy * sx
+    out[..., 2, 2] = cy * cx
+    return out
+
+
 def mat_to_euler(rot: jnp.ndarray, eps: float = 1.0e-6) -> jnp.ndarray:
     """Rotation matrices (..., 3, 3) -> euler angles (..., 3).
 

@@ -160,6 +160,54 @@ def interpolate_pose(pose: jnp.ndarray, alphas: jnp.ndarray) -> jnp.ndarray:
 # Host-side (numpy) pose interpolation for datasets
 # ----------------------------------------------------------------------------
 
+def np_mat_to_quat(rot: np.ndarray) -> np.ndarray:
+    """(..., 3, 3) -> (..., 4) wxyz, pure numpy (NO device dispatch: dataset
+    loaders call this per frame and eager jnp ops through the tunneled chip
+    cost seconds per call-chain)."""
+    m00, m01, m02 = rot[..., 0, 0], rot[..., 0, 1], rot[..., 0, 2]
+    m10, m11, m12 = rot[..., 1, 0], rot[..., 1, 1], rot[..., 1, 2]
+    m20, m21, m22 = rot[..., 2, 0], rot[..., 2, 1], rot[..., 2, 2]
+    tr = m00 + m11 + m22
+    qw0 = np.sqrt(np.maximum(1.0 + tr, 1e-12)) / 2.0
+    q0 = np.stack([qw0, (m21 - m12) / (4 * qw0), (m02 - m20) / (4 * qw0),
+                   (m10 - m01) / (4 * qw0)], axis=-1)
+    qx1 = np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 1e-12)) / 2.0
+    q1 = np.stack([(m21 - m12) / (4 * qx1), qx1, (m01 + m10) / (4 * qx1),
+                   (m02 + m20) / (4 * qx1)], axis=-1)
+    qy2 = np.sqrt(np.maximum(1.0 - m00 + m11 - m22, 1e-12)) / 2.0
+    q2 = np.stack([(m02 - m20) / (4 * qy2), (m01 + m10) / (4 * qy2), qy2,
+                   (m12 + m21) / (4 * qy2)], axis=-1)
+    qz3 = np.sqrt(np.maximum(1.0 - m00 - m11 + m22, 1e-12)) / 2.0
+    q3 = np.stack([(m10 - m01) / (4 * qz3), (m02 + m20) / (4 * qz3),
+                   (m12 + m21) / (4 * qz3), qz3], axis=-1)
+    scores = np.stack([tr, m00 - m11 - m22, -m00 + m11 - m22,
+                       -m00 - m11 + m22], axis=-1)
+    best = np.argmax(scores, axis=-1)
+    qs = np.stack([q0, q1, q2, q3], axis=-2)
+    q = np.take_along_axis(
+        qs, np.repeat(best[..., None, None], 4, axis=-1), axis=-2)[..., 0, :]
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def np_quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """(..., 4) wxyz -> (..., 3, 3), pure numpy."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    return np.stack([
+        np.stack([r00, r01, r02], axis=-1),
+        np.stack([r10, r11, r12], axis=-1),
+        np.stack([r20, r21, r22], axis=-1),
+    ], axis=-2)
+
+
 def np_quat_slerp(q0: np.ndarray, q1: np.ndarray, alpha: np.ndarray) -> np.ndarray:
     dot = np.sum(q0 * q1, axis=-1, keepdims=True)
     q1 = np.where(dot < 0, -q1, q1)
@@ -186,7 +234,7 @@ class PosesInterpolator:
         order = np.argsort(timestamps)
         self.timestamps = timestamps[order]
         self.poses = poses[order]
-        self.quats = np.asarray(mat_to_quat(jnp.asarray(self.poses[:, :3, :3])))
+        self.quats = np_mat_to_quat(self.poses[:, :3, :3])
         self.min_timestamp = self.timestamps.min()
         self.max_timestamp = self.timestamps.max()
 
@@ -199,7 +247,7 @@ class PosesInterpolator:
         denom = np.where(t1 - t0 <= 0, 1.0, t1 - t0)
         alpha = ((query - t0) / denom).reshape(-1, 1)
         quats = np_quat_slerp(self.quats[idx], self.quats[idx + 1], alpha)
-        rots = np.asarray(quat_to_mat(jnp.asarray(quats)))
+        rots = np_quat_to_mat(quats)
         trs = (1 - alpha) * self.poses[idx, :3, 3] + alpha * self.poses[idx + 1, :3, 3]
         out = np.tile(np.eye(4, dtype=np.float64), (query.shape[0], 1, 1))
         out[:, :3, :3] = rots

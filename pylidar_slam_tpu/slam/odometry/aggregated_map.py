@@ -249,6 +249,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                             gn_eps: float = 1.0e-4,
                             upload_quantization: float = 0.0,
                             deskew: bool = False,
+                            elastic: bool = False,
                             alignment_mode: str = "point_to_plane_gauss_newton",
                             use_fused_kernel: bool = False):
     """Builds the jitted per-frame step for the aggregated-map odometry.
@@ -275,8 +276,10 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
         return points, mask
 
     def register(state: AggMapState, tgt_pts: jnp.ndarray,
-                 tgt_mask: jnp.ndarray, t_init: jnp.ndarray):
+                 tgt_mask: jnp.ndarray, t_init: jnp.ndarray,
+                 alphas: jnp.ndarray):
         """ICP: solves T = anchor_from_new. tgt_pts (N, 3) in the new frame."""
+        inv_anchor = se3.inverse_pose_matrix(state.anchor_from_cur[None])[0]
 
         def rasterize_target(t):
             """Rasterization of the full padded cloud at pose t.
@@ -284,8 +287,23 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
             (Re-binning the 65k image pixels instead was measured to LOSE
             accuracy -- z-buffer losses compound across re-rasterizations --
             so every re-association goes back to the raw cloud.)
+
+            Elastic (CT-ICP-class) mode: the raw cloud is re-de-skewed from
+            the CURRENT pose iterate before every rasterization -- per-point
+            slerp between identity and the current frame-to-frame motion
+            (capability of reference ct_icp_odometry.py:311-336, redesigned
+            as a fixed-point warp refresh inside the jitted ICP loop; the
+            scan-start pose is tied to the previous scan's end, which the
+            reference enforces through its location-consistency term).
             """
-            q = se3.apply_transformation(tgt_pts[None], t[None])[0]
+            if elastic:
+                rpose_cur = inv_anchor @ t
+                rots, trs = se3.interpolate_pose(rpose_cur, alphas)
+                p = jnp.einsum("nij,nj->ni", rots, tgt_pts) + trs
+                p = jnp.where(tgt_mask[:, None], p, 0.0)
+            else:
+                p = tgt_pts
+            q = se3.apply_transformation(p[None], t[None])[0]
             idx, hit = rasterize_encoded(q, proj, tgt_mask)
             return jnp.where(hit[:, None], jnp.take(q, idx, axis=0),
                              0.0).reshape(h, w, 3)
@@ -390,7 +408,12 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
         """Full frame: register + thresholded insert.  Returns
         (state', delta', rpose, pose_params, diagnostics)."""
         points, mask = dequant(points, mask)
-        if deskew:
+        if elastic:
+            # Elastic registration re-warps from the current iterate inside
+            # register(); only the per-point fractions are fixed here.
+            alphas = projection.estimate_timestamps(points, clockwise=True,
+                                                    phi_0=math.pi, mask=mask)
+        elif deskew:
             # In-step motion de-skew (the device-side equivalent of the
             # reference's Distortion filter, preprocessing.py:144-191, and
             # the first-order core of CT-ICP's elastic registration):
@@ -400,8 +423,12 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
             rots, trs = se3.interpolate_pose(init_rpose, alphas)
             points = jnp.einsum("nij,nj->ni", rots, points) + trs
             points = jnp.where(mask[:, None], points, 0.0)
+            alphas = jnp.zeros_like(alphas)
+        else:
+            alphas = jnp.zeros((points.shape[0],), points.dtype)
         t_init = state.anchor_from_cur @ init_rpose
-        t_final, it, loss, matches = register(state, points, mask, t_init)
+        t_final, it, loss, matches = register(state, points, mask, t_init,
+                                              alphas)
 
         # Relative pose new -> previous frame
         rpose = se3.inverse_pose_matrix(state.anchor_from_cur[None])[0] @ t_final
@@ -413,7 +440,15 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                  (jnp.linalg.norm(d_params[3:]) * 180.0 / math.pi > threshold_rot)
 
         def do_insert(st):
-            vmap, nmap, rimg = build_scan_images(points, mask, proj, nks)
+            if elastic:
+                # Insert the cloud de-skewed by the FINAL estimate (the map
+                # holds motion-corrected geometry in the scan-start frame).
+                rots, trs = se3.interpolate_pose(rpose, alphas)
+                ins = jnp.einsum("nij,nj->ni", rots, points) + trs
+                ins = jnp.where(mask[:, None], ins, 0.0)
+            else:
+                ins = points
+            vmap, nmap, rimg = build_scan_images(ins, mask, proj, nks)
             # new anchor = the new frame; old anchor -> new frame transform:
             new_from_old = se3.inverse_pose_matrix(t_final[None])[0]
             return insert_scan(st, vmap, nmap, rimg, new_from_old, proj, max_age)

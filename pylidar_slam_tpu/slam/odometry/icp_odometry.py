@@ -280,6 +280,7 @@ class ICPFrameToModel:
                 gn_eps=float(gn_cfg.eps),
                 upload_quantization=float(config.upload_quantization or 0.0),
                 deskew=bool(align_cfg.get("deskew", False)),
+                elastic=bool(align_cfg.get("elastic", False)),
                 alignment_mode=str(align_cfg.get(
                     "mode", "point_to_plane_gauss_newton")),
                 use_fused_kernel=bool(agg_cfg.use_fused_kernel),

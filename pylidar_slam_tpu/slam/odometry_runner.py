@@ -48,6 +48,11 @@ class SLAMRunnerConfig:
     fail_dir: str = ""
     move_if_fail: bool = False
     eval_mode: str = "normal"
+    # Headless 3D-viewer equivalent (reference's optional viz3d windows,
+    # icp_odometry.py:209-240): dump the registered map as {seq}_map.ply and
+    # render top-down + 3D PNG views of map + trajectory.
+    save_map: bool = False
+    save_map_voxel_size: float = 0.3
 
 
 def _git_hash() -> str:
@@ -133,11 +138,17 @@ class SLAMRunner:
             start = time.time()
             frame_count = 0
             failed = False
+            map_clouds = [] if self.config.save_map else None
             try:
                 for data_dict in _Prefetcher(dataset,
                                              max_frames=self.config.max_num_frames):
                     slam.process_next_frame(data_dict)
                     frame_count += 1
+                    if map_clouds is not None:
+                        raw = data_dict.get(self.dataset_loader.config.numpy_pc_key)
+                        if raw is not None:
+                            pts = np.asarray(raw, np.float32)[:, :3]
+                            map_clouds.append(pts[:: max(len(pts) // 20000, 1)])
             except (Exception, KeyboardInterrupt) as e:
                 # Failure dumping: save the partial trajectory then re-raise
                 # (reference catch_exception, odometry_runner.py:162-167).
@@ -166,6 +177,8 @@ class SLAMRunner:
             logger.info("Sequence %s: %d frames in %.1fs (%.1f scans/s)",
                         seq_name, frame_count, elapsed,
                         frame_count / max(elapsed, 1e-9))
+            if map_clouds and relative is not None:
+                self._save_map(seq_name, map_clouds, relative)
             if slam.backend is not None:
                 slam.dump_all_constraints(str(self.log_dir / f"constraints_{seq_name}"))
 
@@ -174,6 +187,26 @@ class SLAMRunner:
             if "AVG" in results.metrics:
                 all_metrics["AVG"] = results.metrics["AVG"]
         return all_metrics
+
+    def _save_map(self, seq_name: str, map_clouds: list,
+                  relative: np.ndarray):
+        """Headless viz3d equivalent: {seq}_map.ply + rendered PNG views."""
+        from pylidar_slam_tpu.viz import viz3d
+        try:
+            cloud = viz3d.aggregate_map_cloud(
+                map_clouds, relative,
+                voxel_size=float(self.config.save_map_voxel_size))
+            absolutes = [np.eye(4)]
+            for rel in relative[1:]:
+                absolutes.append(absolutes[-1] @ np.asarray(rel, np.float64))
+            absolutes = np.stack(absolutes)
+            viz3d.write_ply(str(self.log_dir / f"{seq_name}_map.ply"), cloud)
+            viz3d.render_map_views(str(self.log_dir / seq_name), cloud,
+                                   absolutes)
+            logger.info("Saved %s map PLY + rendered views (%d points)",
+                        seq_name, cloud.shape[0])
+        except Exception as e:  # viz must never fail a run
+            logger.error("Map dump failed for %s: %s", seq_name, e)
 
     def _dump_partial(self, slam: SLAM, seq_name: str):
         try:

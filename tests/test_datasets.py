@@ -126,3 +126,38 @@ def test_kitti_calib_parsing(tmp_path):
         np.maximum(np.linalg.norm(scan[:, :3], axis=1) ** 2, 1e-9)
     np.testing.assert_allclose(np.arccos(np.clip(cos_angles, -1, 1)),
                                np.deg2rad(0.205), atol=1e-4)
+
+
+def test_kitti_raw_drive_track(tmp_path):
+    """kitti_raw_dir exposes unrectified raw scans + azimuth timestamps
+    (reference kitti_dataset.py:251-274)."""
+    from pylidar_slam_tpu.dataset.kitti_dataset import KITTIOdometrySequence
+
+    # odometry tree: sequence 04 with one .bin scan
+    seq_dir = tmp_path / "odom"
+    velo = seq_dir / "sequences" / "04" / "velodyne"
+    velo.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    scan = rng.normal(size=(256, 4)).astype(np.float32) * 5
+    scan.tofile(velo / "000000.bin")
+
+    # raw tree: drive for seq 04 with a txt scan
+    raw_dir = tmp_path / "raw"
+    raw_data = raw_dir / "2011_09_30/2011_09_30_drive_0016" / \
+        "velodyne_points" / "data"
+    raw_data.mkdir(parents=True)
+    raw_scan = rng.normal(size=(128, 4)).astype(np.float32) * 5
+    np.savetxt(raw_data / "0000000000.txt", raw_scan)
+
+    seq = KITTIOdometrySequence(str(seq_dir), "04",
+                                ground_truth_channel=None,
+                                raw_dir=str(raw_dir))
+    d = seq[0]
+    assert d["raw_numpy_pc"].shape == (128, 3)
+    ts = d["raw_numpy_pc_timestamps"]
+    assert ts.shape == (128,)
+    assert ts.min() >= -0.5 - 1e-6 and ts.max() <= 0.5 + 1e-6
+
+    # without raw_dir the keys are absent
+    seq2 = KITTIOdometrySequence(str(seq_dir), "04", ground_truth_channel=None)
+    assert "raw_numpy_pc" not in seq2[0]

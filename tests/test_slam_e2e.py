@@ -65,6 +65,21 @@ def test_config_composition_defaults():
     assert cfg3["slam"]["odometry"]["max_num_alignments"] == 25
 
 
+def test_config_nested_defaults():
+    """A group option file may select its own subgroups (hydra nested
+    defaults) -- the ct_icp profile picks aggregated map + elastic alignment,
+    while explicit CLI subgroup overrides still win."""
+    cfg = compose("config", "slam", ["dataset=synthetic",
+                                     "slam/odometry=ct_icp"])
+    odo = cfg["slam"]["odometry"]
+    assert odo["local_map"]["type"] == "aggregated_local_map"
+    assert odo["alignment"]["elastic"] is True
+    cfg2 = compose("config", "slam", [
+        "dataset=synthetic", "slam/odometry=ct_icp",
+        "slam/odometry/local_map=projective"])
+    assert cfg2["slam"]["odometry"]["local_map"]["type"] == "projective_local_map"
+
+
 @pytest.mark.slow
 def test_surfel_kdtree_odometry_tracks_synthetic(tmp_path):
     """The exact-NN surfel ring map ('kdtree_local_map') tracks synthetic."""
@@ -130,6 +145,31 @@ def test_batched_odometry_matches_per_frame_constraints():
     # Deferred queue fully drained; poses available for every frame.
     assert len(slam4._deferred_frames) == 0
     assert len(slam4.get_relative_poses()) == len(slam1.get_relative_poses())
+
+
+@pytest.mark.slow
+def test_elastic_ct_icp_tracks_skewed_synthetic(tmp_path):
+    """The elastic (CT-ICP-class) profile tracks a rolling-shutter sequence
+    with intra-scan rotation (reference ct_icp capability,
+    ct_icp_odometry.py:311-336).  Measured on TPU, 100 frames, turn 0.08:
+    elastic 0.99% tr_err vs plain 3.07% vs first-order deskew 12.7%."""
+    runner = _run(tmp_path, [
+        "dataset.skew=true", "dataset.turn_rate=0.08", "dataset.speed=1.2",
+        "slam/odometry=ct_icp",
+        "slam.odometry.num_points_padded=65536"])
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "run" / "synth_00.poses.txt", sep=",")
+    absolute = np.concatenate(
+        [df.values.reshape(-1, 3, 4),
+         np.tile(np.array([[[0, 0, 0, 1.0]]]), (len(df), 1, 1))], axis=1)
+    rel_pred = ev.compute_relative_poses(absolute)
+    rel_gt = runner.dataset_loader.get_ground_truth("synth_00")[:14]
+    ate, _ = ev.compute_ate(rel_pred, rel_gt)
+    # Short windows are dominated by the first frames (identity prior); the
+    # elastic-vs-plain margin (0.99% vs 3.07% tr_err) needs 100+ frames and
+    # is documented in docs/benchmark.md.  This pins tracking (~0.078
+    # measured; losing tracking at this spin gives > 0.3).
+    assert ate < 0.12, f"elastic odometry ATE too high on skewed data: {ate}"
 
 
 def test_cli_scalar_parsing():
