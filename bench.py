@@ -87,6 +87,11 @@ def main():
         data_key="numpy_pc",
         batch_size=BATCH,
         upload_quantization=float(os.environ.get("BENCH_QUANT", "0.0")),
+        # Packed 8 B/point upload (uint16 pixel + 2 mm range + f16 angular
+        # deltas): 1.5x fewer tunnel bytes at +0.03pt tr_err (0.203% vs
+        # 0.173% on the 140-frame synthetic) -- the upload path is the
+        # measured bottleneck.  BENCH_FORMAT=f32 reverts.
+        upload_format=os.environ.get("BENCH_FORMAT", "packed"),
     )
     odom = ICPFrameToModel(icp_cfg, projector=proj)
     odom.init()

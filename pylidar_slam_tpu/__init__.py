@@ -29,3 +29,13 @@ import jax as _jax
 # magnitudes and cheaper than 'highest' (6-pass) on any genuinely large matmul.
 if not _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
     _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: first-process compiles of the fused ICP step
+# through the tunneled backend take 1-8 min (measured, high variance --
+# mostly backend-side executable load, not XLA).  The on-disk cache removes
+# the XLA share of that; repeat CLI invocations benefit directly.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.join(_os.path.dirname(__file__), "..",
+                                     ".jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -15,6 +15,7 @@ def _register_all():
     from pylidar_slam_tpu.dataset import nhcd_dataset  # noqa: F401
     from pylidar_slam_tpu.dataset import rosbag_dataset  # noqa: F401
     from pylidar_slam_tpu.dataset import urban_loco_dataset  # noqa: F401
+    from pylidar_slam_tpu.dataset import ct_icp_dataset  # noqa: F401
 
 
 _register_all()

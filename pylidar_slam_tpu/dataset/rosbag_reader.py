@@ -221,22 +221,40 @@ def write_simple_bag(file_path: str, topic: str,
                      messages: List[Tuple[int, bytes]],
                      msg_type: str = "sensor_msgs/PointCloud2"):
     """Writes an uncompressed single-connection bag (for tests)."""
+    write_multi_bag(file_path, [(topic, msg_type, messages)])
+
+
+def write_multi_bag(file_path: str,
+                    connections: List[Tuple[str, str, List[Tuple[int, bytes]]]]):
+    """Writes an uncompressed multi-connection bag (for tests).
+
+    ``connections`` is a list of (topic, msg_type, [(time_ns, raw), ...]);
+    messages are written interleaved in global time order.
+    """
     with open(file_path, "wb") as f:
         f.write(MAGIC)
         f.write(_record({b"op": bytes([OP_BAG_HEADER]),
                          b"index_pos": struct.pack("<Q", 0),
-                         b"conn_count": struct.pack("<I", 1),
+                         b"conn_count": struct.pack("<I", len(connections)),
                          b"chunk_count": struct.pack("<I", 1)},
                         b"\x20" * 4096))
-        chunk_records = _record(
-            {b"op": bytes([OP_CONNECTION]), b"conn": struct.pack("<I", 0),
-             b"topic": topic.encode()},
-            _encode_header({b"topic": topic.encode(),
-                            b"type": msg_type.encode(),
-                            b"md5sum": b"", b"message_definition": b""}))
-        for time_ns, raw in messages:
+        chunk_records = b""
+        all_messages = []
+        for conn_id, (topic, msg_type, messages) in enumerate(connections):
             chunk_records += _record(
-                {b"op": bytes([OP_MESSAGE_DATA]), b"conn": struct.pack("<I", 0),
+                {b"op": bytes([OP_CONNECTION]),
+                 b"conn": struct.pack("<I", conn_id),
+                 b"topic": topic.encode()},
+                _encode_header({b"topic": topic.encode(),
+                                b"type": msg_type.encode(),
+                                b"md5sum": b"", b"message_definition": b""}))
+            all_messages += [(time_ns, conn_id, raw)
+                             for time_ns, raw in messages]
+        for time_ns, conn_id, raw in sorted(all_messages,
+                                            key=lambda m: (m[0], m[1])):
+            chunk_records += _record(
+                {b"op": bytes([OP_MESSAGE_DATA]),
+                 b"conn": struct.pack("<I", conn_id),
                  b"time": struct.pack("<Q", time_ns)}, raw)
         f.write(_record({b"op": bytes([OP_CHUNK]), b"compression": b"none",
                          b"size": struct.pack("<I", len(chunk_records))},

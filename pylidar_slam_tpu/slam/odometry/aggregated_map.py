@@ -267,9 +267,13 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
     nks = int(map_cfg.normals_kernel_size)
 
     def dequant(points: jnp.ndarray, mask: jnp.ndarray):
-        """Expands int16-quantized uploads to float32 meters and derives the
-        validity of the zero padding on device (the host never uploads the
-        mask -- see ICPFrameToModel._compact_upload)."""
+        """Expands compact uploads (packed uint16 / int16-quantized) to
+        float32 meters and derives the validity of the zero padding on
+        device (the host never uploads the mask -- see
+        ICPFrameToModel._compact_upload)."""
+        if points.dtype == jnp.uint16:
+            points, pvalid = projection.decode_packed_upload(points, proj)
+            return points, mask & pvalid
         if points.dtype == jnp.int16:
             points = points.astype(jnp.float32) * upload_quantization
         mask = mask & (jnp.max(jnp.abs(points), axis=-1) > 0)

@@ -94,6 +94,11 @@ class ICPFrameToModelConfig(OdometryConfig):
     # Measured NOT to recover the quantization accuracy loss (sweep 4) --
     # kept as an option, default off.
     upload_dither: bool = False
+    # Upload encoding: "f32" (12 B/point xyz) or "packed" (8 B/point:
+    # uint16 pixel id + 2 mm range steps + f16 angular deltas -- <= 1 mm
+    # reconstruction error, 1.5x fewer tunnel bytes).  Packed requires the
+    # projector's H*W <= 65536 and applies to aggregated/kdtree modes.
+    upload_format: str = "f32"
     # Aggregated-map mode: frames per device execution (lax.scan).  B > 1
     # amortizes dispatch overhead; constant-velocity priors then chain on
     # device and per-frame `odometry_pose` outputs are unavailable (use
@@ -426,6 +431,17 @@ class ICPFrameToModel:
         nan_rows = np.isnan(pts).any(axis=1)
         if nan_rows.any():
             pts = pts[~nan_rows]
+        if str(self.config.upload_format or "f32") == "packed" and \
+                self.projector.height * self.projector.width <= 65536:
+            from pylidar_slam_tpu.ops import projection as proj_ops
+            enc = proj_ops.np_encode_packed_upload(pts, self.projector)
+            n = min(enc.shape[0], cap)
+            bucket = min(cap, max(self._UPLOAD_BUCKET,
+                                  -(-n // self._UPLOAD_BUCKET) *
+                                  self._UPLOAD_BUCKET))
+            buf = np.zeros((bucket, 4), np.uint16)
+            buf[:n] = enc[:n]
+            return buf
         n = min(pts.shape[0], cap)
         bucket = min(cap, max(self._UPLOAD_BUCKET,
                               -(-n // self._UPLOAD_BUCKET) * self._UPLOAD_BUCKET))
@@ -459,12 +475,13 @@ class ICPFrameToModel:
         rows = int(dev.shape[0])
         if rows >= cap:
             return dev
-        key = (rows, str(dev.dtype))
+        cols = int(dev.shape[1])
+        key = (rows, cols, str(dev.dtype))
         fn = self._device_pad_cache.get(key)
         if fn is None:
             pad = cap - rows
             fn = jax.jit(lambda x: jnp.concatenate(
-                [x, jnp.zeros((pad, 3), x.dtype)], axis=0))
+                [x, jnp.zeros((pad, cols), x.dtype)], axis=0))
             self._device_pad_cache[key] = fn
         return fn(dev)
 
@@ -476,15 +493,15 @@ class ICPFrameToModel:
 
     def _device_pad_batch(self, dev: jnp.ndarray) -> jnp.ndarray:
         cap = self.config.num_points_padded
-        b, rows = int(dev.shape[0]), int(dev.shape[1])
+        b, rows, cols = int(dev.shape[0]), int(dev.shape[1]), int(dev.shape[2])
         if rows >= cap:
             return dev
-        key = (b, rows, str(dev.dtype))
+        key = (b, rows, cols, str(dev.dtype))
         fn = self._device_pad_cache.get(key)
         if fn is None:
             pad = cap - rows
             fn = jax.jit(lambda x: jnp.concatenate(
-                [x, jnp.zeros((b, pad, 3), x.dtype)], axis=1))
+                [x, jnp.zeros((b, pad, cols), x.dtype)], axis=1))
             self._device_pad_cache[key] = fn
         return fn(dev)
 
@@ -552,7 +569,9 @@ class ICPFrameToModel:
             arr = None if isinstance(raw, jnp.ndarray) else np.asarray(raw)
             if arr is not None and arr.ndim == 2 and arr.shape[1] >= 3:
                 entry = self._compact_host_buffer(arr)
-                pc_out = entry
+                # Downstream consumers (loop closure) need METERS; hand them
+                # the raw cloud when the upload buffer is an encoded format.
+                pc_out = entry if entry.dtype == np.float32 else arr[:, :3]
             else:  # vertex-map / device input: fall back to device arrays
                 entry = self._read_points(data_dict)
                 pc_out = entry[0]
@@ -592,7 +611,13 @@ class ICPFrameToModel:
                                          matches, inserted)
         self._params_log.append(pose_params[None])
         data_dict[self.relative_pose_key()] = rpose
-        data_dict[self.pointcloud_key()] = points
+        if points.dtype == jnp.uint16:
+            # Encoded upload: downstream consumers get the raw meters cloud.
+            raw = data_dict.get(self.config.data_key)
+            data_dict[self.pointcloud_key()] = \
+                np.asarray(raw)[:, :3] if raw is not None else points
+        else:
+            data_dict[self.pointcloud_key()] = points
         self._iter += 1
 
     def _flush_batch(self):
@@ -604,7 +629,8 @@ class ICPFrameToModel:
             # the static capacity on device.
             bufs = self._frame_buffer
             rows = max(b.shape[0] for b in bufs)
-            stacked = np.zeros((len(bufs), rows, 3), bufs[0].dtype)
+            stacked = np.zeros((len(bufs), rows, bufs[0].shape[1]),
+                               bufs[0].dtype)
             for i, b in enumerate(bufs):
                 stacked[i, :b.shape[0]] = b
             pts = self._device_pad_batch(jnp.asarray(stacked))
@@ -689,13 +715,18 @@ class ICPFrameToModel:
 
         map_state = self._map_state
         cap = self.config.num_points_padded
-        dtype = jnp.int16 if float(self.config.upload_quantization or 0.0) > 0 \
-            else jnp.float32
+        if str(self.config.upload_format or "f32") == "packed" and \
+                self.projector.height * self.projector.width <= 65536:
+            dtype, ncols = jnp.uint16, 4
+        elif float(self.config.upload_quantization or 0.0) > 0:
+            dtype, ncols = jnp.int16, 3
+        else:
+            dtype, ncols = jnp.float32, 3
 
         def warm():
             try:
                 eye = jnp.eye(4, dtype=jnp.float32)
-                pts = jnp.zeros((cap, 3), dtype)
+                pts = jnp.zeros((cap, ncols), dtype)
                 msk = jnp.ones((cap,), bool)
                 # A real call on a THROWAWAY copy populates the jit cache
                 # (map_state arg is donated, so pass a fresh tree copy).

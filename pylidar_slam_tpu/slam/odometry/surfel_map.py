@@ -105,8 +105,12 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
     damping = float(map_cfg.levenberg_damping)
 
     def dequant(points, mask):
-        """int16 expansion + device-side validity of the zero padding (the
-        host never uploads the mask -- ICPFrameToModel._compact_upload)."""
+        """Compact-upload expansion (packed uint16 / int16) + device-side
+        validity of the zero padding (the host never uploads the mask --
+        ICPFrameToModel._compact_upload)."""
+        if points.dtype == jnp.uint16:
+            points, pvalid = projection.decode_packed_upload(points, proj)
+            return points, mask & pvalid
         if points.dtype == jnp.int16:
             points = points.astype(jnp.float32) * upload_quantization
         mask = mask & (jnp.max(jnp.abs(points), axis=-1) > 0)

@@ -161,3 +161,149 @@ def test_kitti_raw_drive_track(tmp_path):
     # without raw_dir the keys are absent
     seq2 = KITTIOdometrySequence(str(seq_dir), "04", ground_truth_channel=None)
     assert "raw_numpy_pc" not in seq2[0]
+
+
+def _write_ctc_ply(path, pts, ts=None, binary=True):
+    """Writes a CT-ICP-style PLY (x, y, z float + timestamp double)."""
+    import struct
+    n = len(pts)
+    header = ["ply",
+              "format binary_little_endian 1.0" if binary else "format ascii 1.0",
+              f"element vertex {n}",
+              "property float x", "property float y", "property float z"]
+    if ts is not None:
+        header.append("property double timestamp")
+    header.append("end_header")
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        if binary:
+            if ts is None:
+                f.write(np.ascontiguousarray(pts, np.float32).tobytes())
+            else:
+                rec = np.zeros(n, dtype=[("xyz", np.float32, 3),
+                                         ("t", "<f8")])
+                rec["xyz"] = pts
+                rec["t"] = ts
+                f.write(rec.tobytes())
+        else:
+            for i in range(n):
+                row = f"{pts[i,0]} {pts[i,1]} {pts[i,2]}"
+                if ts is not None:
+                    row += f" {ts[i]}"
+                f.write((row + "\n").encode())
+
+
+def test_ct_icp_dataset_loader(tmp_path):
+    """CT-ICP PLY-dir dataset: frames + timestamps + KITTI-style GT
+    (reference ct_icp_dataset.py capability, pure Python)."""
+    from pylidar_slam_tpu.dataset.ct_icp_dataset import (CTICPConfig,
+                                                         CTICPDatasetLoader)
+    rng = np.random.default_rng(5)
+    seq = tmp_path / "seq_a" / "frames"
+    seq.mkdir(parents=True)
+    gt = np.tile(np.eye(4), (3, 1, 1))
+    for i in range(3):
+        pts = rng.normal(size=(500, 3)).astype(np.float32) * 10
+        ts = np.linspace(0.0, 0.1, 500) + i
+        _write_ctc_ply(seq / f"frame_{i:05}.ply", pts, ts,
+                       binary=(i % 2 == 0))
+        gt[i, 0, 3] = i * 1.5
+    np.savetxt(tmp_path / "seq_a" / "trajectory.txt",
+               gt[:, :3, :].reshape(3, 12))
+
+    loader = CTICPDatasetLoader(CTICPConfig(root_dir=str(tmp_path)))
+    (datasets, names), _, _, _ = loader.sequences()
+    assert names == ["seq_a"]
+    ds = datasets[0]
+    assert len(ds) == 3
+    d = ds[1]
+    assert d["numpy_pc"].shape == (500, 3)
+    t = d["numpy_pc_timestamps"]
+    assert t.min() >= 1.0 and t.max() <= 2.0  # normalized + frame index
+    assert d["absolute_pose_gt"][0, 3] == 1.5
+    rel = loader.get_ground_truth("seq_a")
+    np.testing.assert_allclose(rel[1][0, 3], 1.5, atol=1e-9)
+
+
+def _encode_inspvax(stamp_s, lon, lat, alt, azimuth, pitch, roll):
+    """Inverse of urban_loco_dataset.decode_inspvax (same byte layout)."""
+    import struct
+    secs = int(stamp_s)
+    nsecs = int((stamp_s - secs) * 1e9)
+    out = struct.pack("<III", 0, secs, nsecs)          # std Header seq/secs/nsecs
+    out += struct.pack("<I", 0)                        # frame_id: empty string
+    out += struct.pack("<I", 7) + b"INSPVAX"           # novatel message_name
+    out += struct.pack("<I", 4) + b"COM1"              # port
+    out += struct.pack("<IfI", 0, 0.0, 2000)           # seq, idle, gps_week
+    out += struct.pack("<d", 0.0)                      # gps_seconds
+    out += struct.pack("<III", 0, 0, 0)                # status, reserved, sw
+    out += struct.pack("<ii", 3, 56)                   # ins_status, pos_type
+    out += struct.pack("<ddd", lat, lon, alt)
+    out += struct.pack("<f", 0.0)                      # undulation
+    out += struct.pack("<ddd", 0.0, 0.0, 0.0)          # velocities
+    out += struct.pack("<ddd", roll, pitch, azimuth)
+    return out
+
+
+def test_urban_loco_inspvax_roundtrip():
+    from pylidar_slam_tpu.dataset.urban_loco_dataset import decode_inspvax
+    raw = _encode_inspvax(1234.25, 114.2, 22.3, 5.0, 33.0, 1.5, -0.5)
+    decoded = decode_inspvax(raw)
+    assert decoded is not None
+    stamp, llu, ypr = decoded
+    assert abs(stamp - 1234.25) < 1e-6
+    np.testing.assert_allclose(llu, [114.2, 22.3, 5.0])
+    np.testing.assert_allclose(ypr, [33.0, 1.5, -0.5])
+
+
+def test_urban_loco_bag_end_to_end(tmp_path):
+    """Full UrbanLoco path on a synthetic bag: PointCloud2 + INSPVAX ->
+    frames + generated ENU ground truth (weak #8: end-to-end bag fixture)."""
+    from pylidar_slam_tpu.dataset.rosbag_reader import (encode_pointcloud2,
+                                                        write_multi_bag)
+    from pylidar_slam_tpu.dataset.urban_loco_dataset import (
+        SEQNAME_TO_FILENAME, UrbanLocoConfig, UrbanLocoDatasetLoader)
+
+    seq = "HK-Data20190426-1"
+    bag_path = tmp_path / SEQNAME_TO_FILENAME[seq]
+
+    rng = np.random.default_rng(9)
+    # spinning-scan pattern: full azimuth revolution per message
+    n = 2000
+    theta = np.linspace(-np.pi, np.pi, n, endpoint=False)
+    r = rng.uniform(5.0, 30.0, n)
+    pc_msgs = []
+    for i in range(4):
+        pts = np.stack([r * np.cos(theta), r * np.sin(theta),
+                        rng.uniform(-2, 1, n)], -1).astype(np.float32)
+        pc_msgs.append((int(1e9 * (10 + 0.1 * i)),
+                        encode_pointcloud2(pts, stamp_s=10 + 0.1 * i)))
+    # GPS: moving north ~5.5 m/s at constant heading, 2 Hz
+    gps_msgs = []
+    for k in range(10):
+        t = 9.9 + 0.05 * k
+        gps_msgs.append((int(1e9 * t), _encode_inspvax(
+            t, 114.2, 22.3 + 0.05 * k * 5.0e-5, 4.0, 90.0, 0.0, 0.0)))
+
+    write_multi_bag(str(bag_path), [
+        ("/velodyne_points_0", "sensor_msgs/PointCloud2", pc_msgs),
+        ("/novatel_data/inspvax", "novatel_msgs/INSPVAX", gps_msgs)])
+
+    loader = UrbanLocoDatasetLoader(UrbanLocoConfig(
+        root_dir=str(tmp_path), train_sequences=[seq]))
+    # 1. GT generation from the bag
+    loader.generate_ground_truth([seq])
+    gt_rel = loader.get_ground_truth(seq)
+    assert gt_rel is not None and len(gt_rel) == 4
+    # constant-velocity northward motion: consecutive relative translations
+    # are equal and ~0.55 m per scan (5.5 m/s * 0.1 s)
+    steps = np.linalg.norm(gt_rel[1:, :3, 3], axis=-1)
+    np.testing.assert_allclose(steps, steps[0], rtol=0.05)
+    assert 0.3 < steps[0] < 0.9
+
+    # 2. frame reading with azimuth-synchronized re-cutting
+    (datasets, names), _, _, _ = loader.sequences()
+    ds = datasets[0]
+    d0 = ds[0]
+    pc = d0["numpy_pc"]
+    assert pc.ndim == 2 and pc.shape[1] == 3 and pc.shape[0] > 1000

@@ -135,3 +135,41 @@ def test_estimate_timestamps():
     ts = np.asarray(projection.estimate_timestamps(jnp.asarray(pts.astype(np.float32)),
                                                    clockwise=True))
     np.testing.assert_allclose(ts, np.linspace(0, 1, 100), atol=1e-5)
+
+
+def test_packed_upload_roundtrip():
+    """8-byte packed upload codec: <= 1 mm reconstruction error (2 mm range
+    steps + f16 angular deltas from the pixel center)."""
+    rng = np.random.default_rng(11)
+    proj = projection.SphericalProjection(64, 1024, 3.0, -24.0)
+    n = 20000
+    theta = rng.uniform(-np.pi, np.pi, n)
+    phi = rng.uniform(np.radians(-23.9), np.radians(2.9), n)
+    r = rng.uniform(2.0, 120.0, n)
+    pts = np.stack([r * np.cos(phi) * np.cos(theta),
+                    -r * np.cos(phi) * np.sin(theta),
+                    r * np.sin(phi)], -1).astype(np.float32)
+    buf = projection.np_encode_packed_upload(pts, proj)
+    assert buf.dtype == np.uint16 and buf.shape[1] == 4
+    assert buf.shape[0] > 0.98 * n  # nearly everything inside the image
+    dec, valid = projection.decode_packed_upload(jnp.asarray(buf), proj)
+    assert bool(np.asarray(valid).all())
+
+    # match decoded rows to their sources (encode preserves kept-row order)
+    rk = np.linalg.norm(pts, axis=-1)
+    colf = np.round(0.5 * ((-np.arctan2(pts[:, 1], pts[:, 0])) / np.pi + 1.0)
+                    * proj.width)
+    rowf = np.round((1.0 - (np.arcsin(np.clip(pts[:, 2] / rk, -1, 1))
+                            + abs(np.radians(proj.down_fov)))
+                     / np.radians(abs(proj.down_fov) + abs(proj.up_fov)))
+                    * proj.height)
+    keep = (rowf >= 0) & (rowf <= proj.height - 1) & \
+        (colf >= 0) & (colf <= proj.width - 1) & \
+        (rk > 0) & (rk < 65535 * projection.PACKED_RANGE_STEP)
+    err = np.linalg.norm(np.asarray(dec) - pts[keep], axis=-1)
+    assert err.max() < 2e-3, f"packed roundtrip error too high: {err.max()}"
+
+    # zero rows decode to invalid
+    z = np.zeros((8, 4), np.uint16)
+    _, zvalid = projection.decode_packed_upload(jnp.asarray(z), proj)
+    assert not bool(np.asarray(zvalid).any())
