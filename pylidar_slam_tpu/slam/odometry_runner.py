@@ -42,7 +42,9 @@ class SLAMRunnerConfig:
     save_results: bool = True
     pose: str = "euler"
     device: str = "tpu"
-    num_workers: int = 2
+    num_workers: int = 2  # prefetch threads (clamped to loader.max_num_workers)
+    # Accepted for reference-CLI compatibility; no TPU meaning (host arrays
+    # cross the tunnel via the odometry's compact-upload path instead).
     pin_memory: bool = True
     log_dir: str = "."
     fail_dir: str = ""
@@ -64,28 +66,60 @@ def _git_hash() -> str:
 
 
 class _Prefetcher:
-    """Background-thread frame prefetcher (bounded queue)."""
+    """Background frame prefetcher with ordered delivery.
 
-    def __init__(self, dataset, depth: int = 4, max_frames: int = -1):
+    ``num_workers`` threads load frames concurrently (the host-side analog
+    of the reference's DataLoader worker processes, odometry_runner.py:
+    147-151); frames are yielded strictly in index order and at most
+    ``depth`` loads run ahead of consumption.  Sequential-only datasets
+    (rosbag) must be driven with num_workers=1 -- the runner clamps to the
+    loader's ``max_num_workers()``.
+    """
+
+    def __init__(self, dataset, depth: int = 4, max_frames: int = -1,
+                 num_workers: int = 1):
         self.dataset = dataset
         self.n = len(dataset) if max_frames < 0 else min(len(dataset), max_frames)
-        self.q: queue.Queue = queue.Queue(maxsize=depth)
-        self.thread = threading.Thread(target=self._worker, daemon=True)
-        self.thread.start()
+        self.num_workers = max(1, int(num_workers))
+        self._sem = threading.Semaphore(max(depth, self.num_workers))
+        self._next_load = 0
+        self._results: dict = {}
+        self._cond = threading.Condition()
+        self._threads = [threading.Thread(target=self._worker, daemon=True)
+                         for _ in range(self.num_workers)]
+        for t in self._threads:
+            t.start()
+
+    def _claim(self) -> int:
+        with self._cond:
+            i = self._next_load
+            self._next_load += 1
+            return i
 
     def _worker(self):
-        try:
-            for i in range(self.n):
-                self.q.put(("ok", self.dataset[i]))
-        except Exception as e:  # surface loader errors on the main thread
-            self.q.put(("err", e))
-        self.q.put(("done", None))
+        while True:
+            self._sem.acquire()
+            i = self._claim()
+            if i >= self.n:
+                with self._cond:
+                    self._results.setdefault(i, ("done", None))
+                    self._cond.notify_all()
+                return
+            try:
+                item = ("ok", self.dataset[i])
+            except Exception as e:  # surfaced on the consumer thread
+                item = ("err", e)
+            with self._cond:
+                self._results[i] = item
+                self._cond.notify_all()
 
     def __iter__(self):
-        while True:
-            kind, item = self.q.get()
-            if kind == "done":
-                return
+        for i in range(self.n):
+            with self._cond:
+                while i not in self._results:
+                    self._cond.wait()
+                kind, item = self._results.pop(i)
+            self._sem.release()
             if kind == "err":
                 raise item
             yield item
@@ -140,8 +174,11 @@ class SLAMRunner:
             failed = False
             map_clouds = [] if self.config.save_map else None
             try:
+                workers = min(int(self.config.num_workers or 1),
+                              self.dataset_loader.max_num_workers())
                 for data_dict in _Prefetcher(dataset,
-                                             max_frames=self.config.max_num_frames):
+                                             max_frames=self.config.max_num_frames,
+                                             num_workers=workers):
                     slam.process_next_frame(data_dict)
                     frame_count += 1
                     if map_clouds is not None:

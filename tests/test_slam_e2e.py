@@ -180,3 +180,25 @@ def test_cli_scalar_parsing():
     assert _parse_scalar("true") is True
     assert _parse_scalar("[1, 2]") == [1, 2]
     assert _parse_scalar("hello") == "hello"
+
+
+@pytest.mark.slow
+def test_kitti_with_data_if_mounted(tmp_path):
+    """Runs 120 frames of KITTI seq 00 end-to-end when $KITTI_ODOM_ROOT is
+    mounted (VERDICT item 5: real-data wiring); skipped otherwise."""
+    import os
+    root = os.environ.get("KITTI_ODOM_ROOT")
+    if not root or not __import__("pathlib").Path(root).exists():
+        pytest.skip("KITTI_ODOM_ROOT not mounted")
+    cfg = compose("config", "slam", [
+        "dataset=kitti", 'dataset.train_sequences=["00"]',
+        "max_num_frames=120",
+        "slam/odometry/local_map=aggregated",
+        "slam.odometry.num_points_padded=131072",
+        f"log_dir={tmp_path}/kitti"])
+    runner = SLAMRunner(dataclass_from_dict(SLAMRunnerConfig, cfg))
+    metrics = runner.run_odometry()
+    assert "00" in metrics
+    # 120 frames ~ 130 m: at least one 100 m segment must evaluate, and the
+    # pipeline must track (tr_err is a ratio; > 0.2 means tracking lost).
+    assert metrics["00"]["tr_err"] < 0.2
