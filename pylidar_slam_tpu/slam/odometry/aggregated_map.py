@@ -200,26 +200,35 @@ def window_associate(state: AggMapState,
     tgt_valid = jnp.max(jnp.abs(tgt_img), axis=-1) > 0
     model_valid = state.rng > 0
 
+    # One padded model buffer (rows zero-filled, cols wrapped for azimuth);
+    # every window candidate is then a STATIC slice of it -- XLA fuses the
+    # slices into the elementwise min pass instead of materializing a
+    # rolled copy per (dr, dc).
+    wr, wc = window_rows, window_cols
+
+    def pad(img, fill):
+        if img.ndim == 2:
+            img = img[..., None]
+        cols = jnp.concatenate([img[:, -wc:], img, img[:, :wc]], axis=1) \
+            if wc > 0 else img
+        zeros = jnp.full((wr,) + cols.shape[1:], fill, cols.dtype)
+        return jnp.concatenate([zeros, cols, zeros], axis=0) if wr > 0 else cols
+
+    px = pad(state.xyz, 0.0)
+    pn = pad(state.normal, 0.0)
+    pv = pad(model_valid, False)[..., 0]
+
     best_d = jnp.full((h, w), jnp.inf, tgt_img.dtype)
     best_xyz = jnp.zeros_like(tgt_img)
     best_nrm = jnp.zeros_like(tgt_img)
 
-    for dr in range(-window_rows, window_rows + 1):
-        # row shift without wrap
-        if dr == 0:
-            mx, mn, mv = state.xyz, state.normal, model_valid
-        else:
-            mx = jnp.roll(state.xyz, dr, axis=0)
-            mn = jnp.roll(state.normal, dr, axis=0)
-            mv = jnp.roll(model_valid, dr, axis=0)
-            if dr > 0:
-                mv = mv.at[:dr].set(False)
-            else:
-                mv = mv.at[dr:].set(False)
-        for dc in range(-window_cols, window_cols + 1):
-            cx = jnp.roll(mx, dc, axis=1)
-            cn = jnp.roll(mn, dc, axis=1)
-            cv = jnp.roll(mv, dc, axis=1)
+    for dr in range(-wr, wr + 1):
+        for dc in range(-wc, wc + 1):
+            # model pixel (r - dr, c - dc) as candidate for target pixel (r, c)
+            r0, c0 = wr - dr, wc - dc
+            cx = px[r0:r0 + h, c0:c0 + w]
+            cn = pn[r0:r0 + h, c0:c0 + w]
+            cv = pv[r0:r0 + h, c0:c0 + w]
             d = jnp.sum((tgt_img - cx) ** 2, axis=-1)
             d = jnp.where(cv & tgt_valid, d, jnp.inf)
             better = d < best_d
