@@ -30,7 +30,11 @@ REFERENCE_SCANS_PER_SEC = 1000.0 / 187.256  # 5.34 scans/s (BASELINE.md)
 # warmup = first frame + one full batch; timed = 6 batches.
 NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "57"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "9"))
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+# Batch 12 sweeps best: per-batch stacked transfers must stay <= ~5 MB
+# (the tunnel stalls on ~8 MB transfers: batch 16 x 64k x 8 B collapses
+# from 134 to 96 scans/s); 12 x 64k x 8 B = 6.3 MB still amortizes
+# dispatch without stalling (measured 119.6 vs 109 at batch 8).
+BATCH = int(os.environ.get("BENCH_BATCH", "12"))
 # Host grid-sample voxel size (the reference's own preprocessing stage,
 # preprocessing.py:195-226; its best KITTI config samples at 0.4).  0.15 m
 # halves the uploaded points at UNCHANGED tr_err (round-2 sweep) -- upload

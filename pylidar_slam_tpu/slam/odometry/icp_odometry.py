@@ -431,6 +431,12 @@ class ICPFrameToModel:
         nan_rows = np.isnan(pts).any(axis=1)
         if nan_rows.any():
             pts = pts[~nan_rows]
+        if pts.shape[0] > cap:
+            # Spatially uniform overflow drop (stride over scan order ==
+            # azimuth-uniform).  Plain head-truncation would keep only the
+            # top image rows -- the same bias that made the round-1 surfel
+            # map fragile.
+            pts = pts[:: -(-pts.shape[0] // cap)][:cap]
         if str(self.config.upload_format or "f32") == "packed" and \
                 self.projector.height * self.projector.width <= 65536:
             from pylidar_slam_tpu.ops import projection as proj_ops
