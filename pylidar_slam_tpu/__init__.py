@@ -34,7 +34,14 @@ if not _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
 # through the tunneled backend take 1-8 min (measured, high variance --
 # mostly backend-side executable load, not XLA).  The on-disk cache removes
 # the XLA share of that; repeat CLI invocations benefit directly.
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+_platforms = getattr(_jax.config, "jax_platforms", None) or ""
+_first_platform = _platforms.split(",")[0].strip()
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") and \
+        _first_platform != "cpu":
+    # CPU AOT cache entries embed host machine-feature sets that XLA warns
+    # may mismatch on reload (SIGILL risk) -- the cache is only worth it for
+    # the slow tunneled-TPU compiles anyway, so CPU-forced runs (tests)
+    # skip it.
     _jax.config.update("jax_compilation_cache_dir",
                        _os.path.join(_os.path.dirname(__file__), "..",
                                      ".jax_cache"))
