@@ -26,15 +26,16 @@ import numpy as np
 
 REFERENCE_SCANS_PER_SEC = 1000.0 / 187.256  # 5.34 scans/s (BASELINE.md)
 
-# Defaults keep the timed region aligned to full device batches (batch=8):
-# warmup = first frame + one full batch; timed = 6 batches.
 NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "57"))
-WARMUP = int(os.environ.get("BENCH_WARMUP", "9"))
 # Batch 12 sweeps best: per-batch stacked transfers must stay <= ~5 MB
 # (the tunnel stalls on ~8 MB transfers: batch 16 x 64k x 8 B collapses
 # from 134 to 96 scans/s); 12 x 64k x 8 B = 6.3 MB still amortizes
 # dispatch without stalling (measured 119.6 vs 109 at batch 8).
 BATCH = int(os.environ.get("BENCH_BATCH", "12"))
+# Warmup = first frame + one full batch, derived from BATCH so the batched
+# executable's first (slow tunnel) compile always lands in warmup, not in
+# the first timed repeat.
+WARMUP = int(os.environ.get("BENCH_WARMUP", str(BATCH + 1)))
 # Host grid-sample voxel size (the reference's own preprocessing stage,
 # preprocessing.py:195-226; its best KITTI config samples at 0.4).  0.15 m
 # halves the uploaded points at UNCHANGED tr_err (round-2 sweep) -- upload
@@ -162,11 +163,60 @@ def main():
         rates.append(len(bench_frames) / (time.perf_counter() - t0))
 
     scans_per_sec = max(rates)
+
+    # Per-stage probes (host prep / H2D upload / device step), measured
+    # outside the pipelined loop so the JSON records WHERE the time goes --
+    # round-over-round numbers previously swung 20% on tunnel weather with
+    # no way to tell which leg moved.
+    stages = {}
+    try:
+        probe = [grid_sample(f) for f in frames[:BATCH]]
+        t0 = time.perf_counter()
+        bufs = [odom._compact_host_buffer(f) for f in probe]
+        stages["host_encode_ms_per_frame"] = round(
+            (time.perf_counter() - t0) / len(probe) * 1000, 2)
+        rows = max(b.shape[0] for b in bufs)
+        stacked = np.zeros((len(bufs), rows, bufs[0].shape[1]), bufs[0].dtype)
+        for i, b in enumerate(bufs):
+            stacked[i, :b.shape[0]] = b
+        up_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dev = jnp.asarray(stacked)
+            _ = np.asarray(dev.ravel()[0:1])  # real sync through the tunnel
+            up_times.append(time.perf_counter() - t0)
+        stages["upload_ms_per_frame"] = round(
+            min(up_times) / BATCH * 1000, 2)
+        stages["upload_mb_per_frame"] = round(stacked.nbytes / BATCH / 1e6, 3)
+        # Device-only: chain the batched step on device-resident data.
+        pts = odom._device_pad_batch(jnp.asarray(stacked))
+        msks = odom._ones_mask_batch(len(bufs))
+        state = jax.tree.map(jnp.array, odom._map_state)
+        delta = jnp.eye(4, dtype=jnp.float32)
+        rpose = jnp.eye(4, dtype=jnp.float32)
+        state, delta, rpose, params, _ = odom._batch_step(
+            state, delta, rpose, pts, msks)  # warm
+        _ = np.asarray(params.ravel()[0:1])
+        n_chain = 4
+        t0 = time.perf_counter()
+        for _ in range(n_chain):
+            state, delta, rpose, params, _ = odom._batch_step(
+                state, delta, rpose, pts, msks)
+        _ = np.asarray(params.ravel()[0:1])
+        stages["device_ms_per_frame"] = round(
+            (time.perf_counter() - t0) / (n_chain * BATCH) * 1000, 2)
+    except Exception as exc:  # probes are telemetry, never fail the bench
+        stages["probe_error"] = str(exc)[:200]
+
     result = {
         "metric": f"ICP odometry throughput ({source}, 64x1024, map=20, accuracy config)",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
         "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 2),
+        "median_value": round(sorted(rates)[len(rates) // 2], 2),
+        "rates": [round(r, 2) for r in rates],
+        "batch": BATCH,
+        "stages": stages,
     }
     print(json.dumps(result))
 

@@ -37,11 +37,13 @@ if not _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
 _platforms = getattr(_jax.config, "jax_platforms", None) or ""
 _first_platform = _platforms.split(",")[0].strip()
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") and \
-        _first_platform != "cpu":
+        _first_platform not in ("", "cpu"):
     # CPU AOT cache entries embed host machine-feature sets that XLA warns
     # may mismatch on reload (SIGILL risk) -- the cache is only worth it for
-    # the slow tunneled-TPU compiles anyway, so CPU-forced runs (tests)
-    # skip it.
+    # the slow tunneled-TPU compiles anyway, so CPU-forced runs (tests) and
+    # hosts with no explicit platform (which resolve to CPU when no
+    # accelerator plugin is present) skip it.  Explicit non-CPU platforms
+    # ('axon', 'tpu', 'proxy') opt in.
     _jax.config.update("jax_compilation_cache_dir",
                        _os.path.join(_os.path.dirname(__file__), "..",
                                      ".jax_cache"))

@@ -48,7 +48,18 @@ def read_ply_fields(file_path: str) -> Dict[str, np.ndarray]:
             if tokens[0] == "format":
                 fmt = tokens[1]
             elif tokens[0] == "element":
-                if in_element:  # only the first element is read
+                if in_element:
+                    # Only the first element is read, but the stream must
+                    # still be advanced past the full header (multi-element
+                    # files: vertex+face from Open3D/MeshLab) so the binary
+                    # payload starts at the right offset.
+                    while True:
+                        line = f.readline()
+                        if not line:
+                            raise ValueError(
+                                f"{file_path}: unexpected EOF in header")
+                        if line.strip() == b"end_header":
+                            break
                     break
                 in_element = True
                 count = int(tokens[2])

@@ -152,9 +152,12 @@ def np_encode_packed_upload(pts: "np.ndarray", proj: SphericalProjection):
     colf = 0.5 * (theta / math.pi + 1.0) * w
     rowf = (1.0 - (phi + abs(fov_down)) / fov) * h
     row = np.round(rowf)
-    col = np.round(colf)
+    # colf lies in (0, w]; round() can land on w, which is the same azimuth
+    # as column 0 -- wrap instead of dropping (otherwise a half-pixel wedge
+    # of every scan at the +pi seam is systematically lost).
+    col = np.round(colf) % w
     keep = (r > 0) & (r < 65535 * PACKED_RANGE_STEP) & \
-        (row >= 0) & (row <= h - 1) & (col >= 0) & (col <= w - 1)
+        (row >= 0) & (row <= h - 1)
     row, col = row[keep], col[keep]
     out = np.empty((int(keep.sum()), 4), np.uint16)
     out[:, 0] = (row * w + col).astype(np.uint16)
@@ -162,7 +165,10 @@ def np_encode_packed_upload(pts: "np.ndarray", proj: SphericalProjection):
         .astype(np.uint16)
     theta_c = (2.0 * col / w - 1.0) * math.pi
     phi_c = (1.0 - row / h) * fov - abs(fov_down)
-    out[:, 2] = (theta[keep] - theta_c).astype(np.float16).view(np.uint16)
+    # Wrap the angular offset into [-pi, pi) so seam-wrapped points keep a
+    # half-pixel-scale dtheta (f16-exact); the decode trig is 2pi-periodic.
+    dtheta = (theta[keep] - theta_c + math.pi) % (2.0 * math.pi) - math.pi
+    out[:, 2] = dtheta.astype(np.float16).view(np.uint16)
     out[:, 3] = (phi[keep] - phi_c).astype(np.float16).view(np.uint16)
     return out
 

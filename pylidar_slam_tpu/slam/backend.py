@@ -1,6 +1,7 @@
 """Pose-graph backend (GraphSLAM) -- capability match of reference
-slam/backend.py with the g2o C++ optimizer replaced by the JAX matrix-free
-PCG Gauss-Newton (ops/pose_graph.py).
+slam/backend.py with the g2o C++ optimizer replaced by a float64 host-side
+sparse Gauss-Newton (ops/pose_graph.py:optimize_pose_graph_host; the JAX
+matrix-free PCG variant remains the device/multi-chip path).
 
 The constraint protocol is identical: the backend scans each frame's
 ``data_dict`` by regex for ``se3_odometry_constraint_<i>``,
@@ -16,13 +17,12 @@ import re
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from pylidar_slam_tpu.config import MISSING, Registry, dataclass_from_dict
 from pylidar_slam_tpu.eval.eval_odometry import compute_relative_poses
-from pylidar_slam_tpu.ops.pose_graph import PoseGraph, optimize_pose_graph
-from pylidar_slam_tpu.utils import assert_debug, check_tensor
+from pylidar_slam_tpu.ops.pose_graph import optimize_pose_graph_host
+from pylidar_slam_tpu.utils import assert_debug
 
 logger = logging.getLogger(__name__)
 
@@ -222,39 +222,26 @@ class GraphSLAM(Backend):
         if not self.config.online_optimization:
             self._poses = [p.copy() for p in self.odometry_poses]
 
-        poses = jnp.asarray(np.stack(self._poses), jnp.float32)
-        edge_i = jnp.asarray([e[0] for e in self._edges], jnp.int32)
-        edge_j = jnp.asarray([e[1] for e in self._edges], jnp.int32)
-        measurements = jnp.asarray(np.stack([e[2] for e in self._edges]),
-                                   jnp.float32)
-        information = jnp.asarray(np.stack([e[3] for e in self._edges]),
-                                  jnp.float32)
-        if self._priors:
-            # Prior residual uses inv(Z) @ X -> measurement passed as Z.
-            prior_idx = jnp.asarray([p[0] for p in self._priors], jnp.int32)
-            prior_m = jnp.asarray(np.stack([p[1] for p in self._priors]),
-                                  jnp.float32)
-            prior_info = jnp.asarray(np.stack([p[2] for p in self._priors]),
-                                     jnp.float32)
-        else:
-            prior_idx = jnp.zeros((1,), jnp.int32)
-            prior_m = jnp.eye(4, dtype=jnp.float32)[None]
-            prior_info = jnp.zeros((1, 6, 6), jnp.float32)
-
-        graph = PoseGraph(edge_i=edge_i, edge_j=edge_j,
-                          measurements=measurements, information=information,
-                          prior_idx=prior_idx, prior_measurements=prior_m,
-                          prior_information=prior_info)
-        optimized = optimize_pose_graph(
-            poses, graph, num_iters=min(max_num_epochs, 30),
-            cg_iters=int(self.config.cg_iterations),
+        # Float64 host solve (scipy sparse LU) -- the precision class of the
+        # reference's double CHOLMOD (backend.py:241-244).  The graph is tiny
+        # next to the scan pipeline; solving on host also avoids a tunneled
+        # retrace/dispatch every time the graph grows.  The JAX
+        # `optimize_pose_graph` stays the device path for the sharded /
+        # multi-chip dryrun.
+        poses = np.stack(self._poses)
+        optimized = optimize_pose_graph_host(
+            poses,
+            edge_i=[e[0] for e in self._edges],
+            edge_j=[e[1] for e in self._edges],
+            measurements=np.stack([e[2] for e in self._edges]),
+            information=np.stack([e[3] for e in self._edges]),
+            prior_idx=[p[0] for p in self._priors] if self._priors else None,
+            prior_measurements=(np.stack([p[1] for p in self._priors])
+                                if self._priors else None),
+            prior_information=(np.stack([p[2] for p in self._priors])
+                               if self._priors else None),
+            num_iters=min(max_num_epochs, 30),
             fix_first=self.config.fix_first_frame)
-        optimized = np.asarray(optimized, dtype=np.float64)
-        # Re-orthonormalize rotations after float32 optimization.
-        u, _, vt = np.linalg.svd(optimized[:, :3, :3])
-        det = np.linalg.det(u @ vt)
-        d = np.stack([np.ones_like(det), np.ones_like(det), det], axis=-1)
-        optimized[:, :3, :3] = u @ (d[:, :, None] * vt)
         self._poses = [optimized[k] for k in range(optimized.shape[0])]
 
     def world_poses(self) -> np.ndarray:

@@ -111,6 +111,28 @@ class SLAM:
             else:
                 logging.warning("[SLAM] Loop closure configured without a backend")
 
+        # Batched odometry chains constant-velocity priors ON DEVICE and
+        # never reads per-frame `init_rpose`, so an initialization that
+        # computes real per-frame priors (EI feature alignment, PoseNet)
+        # would be silently ignored -- fail loudly instead.
+        batch_size = 1
+        if isinstance(cfg.odometry, dict):
+            batch_size = int(cfg.odometry.get("batch_size", 1) or 1)
+        elif cfg.odometry is not None:
+            batch_size = int(getattr(cfg.odometry, "batch_size", 1) or 1)
+        init_type = None
+        if isinstance(cfg.initialization, dict):
+            init_type = cfg.initialization.get("type")
+        elif cfg.initialization is not None:
+            init_type = getattr(cfg.initialization, "type", None)
+        if batch_size > 1 and init_type in ("ei", "posenet"):
+            # Config-validity error: raised regardless of debug mode.
+            raise ValueError(
+                f"slam.odometry.batch_size={batch_size} ignores per-frame "
+                f"initialization priors; initialization '{init_type}' "
+                f"computes real priors that would be silently dropped. Use "
+                f"batch_size=1 or initialization CV/NI.")
+
         self._deferred_frames = []
         # Batched odometry must surface per-frame poses (one host transfer
         # per flush) whenever downstream consumers exist.

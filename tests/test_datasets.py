@@ -307,3 +307,32 @@ def test_urban_loco_bag_end_to_end(tmp_path):
     d0 = ds[0]
     pc = d0["numpy_pc"]
     assert pc.ndim == 2 and pc.shape[1] == 3 and pc.shape[0] > 1000
+
+
+def test_ply_multi_element_header(tmp_path):
+    """Standard vertex+face PLY (Open3D/MeshLab layout): the parser must
+    consume the FULL header before reading the binary payload, else the
+    vertex data is read from mid-header (ADVICE r2: garbage coordinates)."""
+    from pylidar_slam_tpu.dataset.ply_io import (ply_to_pointcloud,
+                                                 read_ply_fields)
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(100, 3)).astype(np.float32) * 5.0
+    path = tmp_path / "mesh.ply"
+    header = "\n".join([
+        "ply",
+        "format binary_little_endian 1.0",
+        "comment exported by some mesh tool",
+        "element vertex 100",
+        "property float x", "property float y", "property float z",
+        "element face 10",
+        "property list uchar int vertex_indices",
+        "end_header", ""])
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(np.ascontiguousarray(pts, np.float32).tobytes())
+        for _ in range(10):  # trailing face payload (ignored)
+            f.write(bytes([3]) + np.zeros(3, np.int32).tobytes())
+    fields = read_ply_fields(str(path))
+    out, ts = ply_to_pointcloud(fields)
+    np.testing.assert_allclose(out, pts, atol=1e-7)
+    assert ts is None

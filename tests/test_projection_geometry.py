@@ -163,11 +163,31 @@ def test_packed_upload_roundtrip():
                             + abs(np.radians(proj.down_fov)))
                      / np.radians(abs(proj.down_fov) + abs(proj.up_fov)))
                     * proj.height)
+    # Azimuth wraps (col == w folds to col 0), so only elevation and range
+    # can drop points.
     keep = (rowf >= 0) & (rowf <= proj.height - 1) & \
-        (colf >= 0) & (colf <= proj.width - 1) & \
         (rk > 0) & (rk < 65535 * projection.PACKED_RANGE_STEP)
     err = np.linalg.norm(np.asarray(dec) - pts[keep], axis=-1)
     assert err.max() < 2e-3, f"packed roundtrip error too high: {err.max()}"
+
+
+def test_packed_upload_azimuth_seam_wrap():
+    """Points within half a pixel of the +pi azimuth seam must wrap to
+    column 0, not be dropped (a systematic half-pixel wedge per scan)."""
+    proj = projection.SphericalProjection(64, 1024, 3.0, -24.0)
+    # theta = -atan2(y, x) ~ +pi (x < 0, y -> 0^-) -> col rounds to w:
+    # exactly the seam wedge.
+    eps = 1e-5  # well inside the half-pixel wedge (pi/w ~ 3e-3)
+    r = 30.0
+    pts = np.array([[-r * np.cos(eps), -r * np.sin(eps), 0.0],
+                    [-r, -1e-7, 0.0]], np.float32)
+    buf = projection.np_encode_packed_upload(pts, proj)
+    assert buf.shape[0] == 2, "seam points must be kept"
+    assert (buf[:, 0] % proj.width == 0).all(), "seam points wrap to col 0"
+    dec, valid = projection.decode_packed_upload(jnp.asarray(buf), proj)
+    assert bool(np.asarray(valid).all())
+    err = np.linalg.norm(np.asarray(dec) - pts, axis=-1)
+    assert err.max() < 2e-3, f"seam roundtrip error {err.max()}"
 
     # zero rows decode to invalid
     z = np.zeros((8, 4), np.uint16)
