@@ -151,7 +151,8 @@ class GNResult(NamedTuple):
 def gauss_newton_step(res: jnp.ndarray, jac: jnp.ndarray,
                       weights: jnp.ndarray,
                       det_threshold: float = 1.0e-7,
-                      damping: float = 0.0):
+                      damping: float = 0.0,
+                      axis_name=None):
     """One weighted GN step from residuals (N,), Jacobian (N, 6), weights (N,).
 
     Returns (dx (6,), loss, singular-flag).  The 6x6 normal equations are
@@ -163,6 +164,11 @@ def gauss_newton_step(res: jnp.ndarray, jac: jnp.ndarray,
     needed for sparse-map configurations whose normal equations are weakly
     constrained (exact-precision GN otherwise overshoots along the
     near-degenerate directions).
+
+    `axis_name`: inside ``shard_map`` with the point dimension sharded, the
+    partial normal equations are psum-ed over this mesh axis before the
+    solve (the tiny (6,6)+(6,)+() payload is the ONLY collective of a
+    point-sharded ICP iteration -- SURVEY.md section 5.8b).
     """
     wres = res * weights
     wjac = jac * weights[:, None]
@@ -172,6 +178,9 @@ def gauss_newton_step(res: jnp.ndarray, jac: jnp.ndarray,
     # are trivial, so precision is free here.
     h = jnp.sum(wjac[:, :, None] * wjac[:, None, :], axis=0)
     g = jnp.sum(wjac * wres[:, None], axis=0)
+    if axis_name is not None:
+        h = jax.lax.psum(h, axis_name)
+        g = jax.lax.psum(g, axis_name)
     if damping > 0.0:
         h = h + (damping * jnp.trace(h) / 6.0) * jnp.eye(6, dtype=h.dtype)
     det = jnp.linalg.det(h)
@@ -180,6 +189,8 @@ def gauss_newton_step(res: jnp.ndarray, jac: jnp.ndarray,
     dx = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h_safe), g)
     dx = jnp.where(singular, jnp.zeros_like(dx), dx)
     loss = jnp.sum(wres * wres)
+    if axis_name is not None:
+        loss = jax.lax.psum(loss, axis_name)
     return dx, loss, singular
 
 

@@ -206,6 +206,125 @@ def decode_packed_upload(buf: jnp.ndarray, proj: SphericalProjection):
     return jnp.where(valid[:, None], pts, 0.0), valid
 
 
+def np_encode_range_image(pts: "np.ndarray", proj: SphericalProjection,
+                          range_step: float = PACKED_RANGE_STEP,
+                          sub16: bool = False):
+    """Encodes an (N, 3) cloud into the FIXED-SHAPE range-image upload.
+
+    Layout: (H*W, 3) uint8 rows [r_lo, r_hi, sub] -- a z-buffered spherical
+    range image (closest point wins the pixel; the angular position is
+    implicit in the row index) with 4+4-bit sub-pixel angular offsets packed
+    into `sub` (bin centers at ((q + 0.5)/16 - 0.5) pixels).  3 B/pixel at
+    64x1024 = 196 KB/frame, SHAPE-STATIC (no per-frame bucketing): vs the
+    8 B/point packed list this is ~25% fewer tunnel bytes at FULL scan
+    density (no host grid-sample needed), the key H2D-wall lever.
+
+    Reconstruction error: <= 1 mm range rounding + 1/32 pixel angular
+    (0.011 deg az / 0.013 deg elev at 64x1024 -> ~6 mm tangential at 30 m,
+    below typical LiDAR sensor noise).
+
+    Uses the O(n) native C++ single-pass encoder when available
+    (native/pointcloud_native.cpp:encode_range_image); numpy sort-based
+    fallback otherwise.  Replaces reference _read_input + projector
+    rasterization (icp_odometry.py:319-358) on the HOST side -- the device
+    receives an already-rasterized scan.
+    """
+    import numpy as np
+    h, w = proj.height, proj.width
+    fov_up = proj.up_fov / 180.0 * math.pi
+    fov_down = proj.down_fov / 180.0 * math.pi
+
+    from pylidar_slam_tpu.utils import native
+    out = native.encode_range_image(pts, h, w, fov_up, fov_down, range_step,
+                                    sub16=sub16)
+    if out is not None:
+        return out
+
+    # numpy fallback: descending-range sort, last write wins (= closest)
+    fov = abs(fov_down) + abs(fov_up)
+    pts = pts[:, :3].astype(np.float32)
+    pts = pts[~np.isnan(pts).any(axis=1)]
+    r = np.linalg.norm(pts, axis=-1)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    r_safe = np.where(r > 0, r, 1.0)
+    theta = -np.arctan2(y, x)
+    phi = np.arcsin(np.clip(z / r_safe, -1.0, 1.0))
+    colf = 0.5 * (theta / math.pi + 1.0) * w
+    rowf = (1.0 - (phi + abs(fov_down)) / fov) * h
+    row = np.round(rowf)
+    col = np.round(colf) % w
+    steps = np.round(r / range_step)
+    keep = (r > 0) & (steps < 65535) & (row >= 0) & (row <= h - 1)
+    row, col, r, theta, phi = (a[keep] for a in (row, col, r, theta, phi))
+    steps = np.maximum(steps[keep], 1.0).astype(np.uint16)
+    pix = (row * w + col).astype(np.int64)
+
+    order = np.argsort(-r, kind="stable")
+    pw = 2.0 * math.pi / w
+    ph = fov / h
+    theta_c = (2.0 * col / w - 1.0) * math.pi
+    phi_c = (1.0 - row / h) * fov - abs(fov_down)
+    dtheta = (theta - theta_c + math.pi) % (2.0 * math.pi) - math.pi
+    dphi = phi - phi_c
+    bins = 256.0 if sub16 else 16.0
+    hi = 255 if sub16 else 15
+    qt = np.clip(np.floor((dtheta / pw + 0.5) * bins), 0, hi).astype(np.uint8)
+    qp = np.clip(np.floor((dphi / ph + 0.5) * bins), 0, hi).astype(np.uint8)
+
+    out = np.zeros((h * w, 4 if sub16 else 3), np.uint8)
+    out[pix[order], 0] = (steps[order] & 0xFF).astype(np.uint8)
+    out[pix[order], 1] = (steps[order] >> 8).astype(np.uint8)
+    if sub16:
+        out[pix[order], 2] = qt[order]
+        out[pix[order], 3] = qp[order]
+    else:
+        out[pix[order], 2] = (qt[order] << 4) | qp[order]
+    return out
+
+
+def decode_range_image(buf: jnp.ndarray, proj: SphericalProjection,
+                       range_step: float = PACKED_RANGE_STEP):
+    """Device-side inverse of ``np_encode_range_image``.
+
+    Args:
+        buf: (H*W, 3|4) uint8 (or (N >= H*W, .) zero-padded); 3 columns =
+            4+4-bit packed sub-pixel, 4 columns = 8+8-bit.
+    Returns:
+        (points (N, 3) float32, valid (N,) bool).  Row index IS the pixel.
+    """
+    h, w = proj.height, proj.width
+    fov_up = proj.up_fov / 180.0 * math.pi
+    fov_down = proj.down_fov / 180.0 * math.pi
+    fov = abs(fov_down) + abs(fov_up)
+
+    n = buf.shape[0]
+    steps = buf[:, 0].astype(jnp.int32) | (buf[:, 1].astype(jnp.int32) << 8)
+    valid = steps > 0
+    if buf.shape[1] == 4:  # 8+8-bit sub-pixel
+        qt = buf[:, 2].astype(jnp.float32)
+        qp = buf[:, 3].astype(jnp.float32)
+        bins = 256.0
+    else:  # 4+4-bit packed
+        sub = buf[:, 2].astype(jnp.int32)
+        qt = (sub >> 4).astype(jnp.float32)
+        qp = (sub & 0xF).astype(jnp.float32)
+        bins = 16.0
+
+    pix = jnp.arange(n, dtype=jnp.int32) % (h * w)
+    row = (pix // w).astype(jnp.float32)
+    col = (pix % w).astype(jnp.float32)
+    pw = 2.0 * math.pi / w
+    ph = fov / h
+    theta = (2.0 * col / w - 1.0) * math.pi + ((qt + 0.5) / bins - 0.5) * pw
+    phi = (1.0 - row / h) * fov - abs(fov_down) + ((qp + 0.5) / bins - 0.5) * ph
+    r = steps.astype(jnp.float32) * range_step
+    cos_phi = jnp.cos(phi)
+    pts = jnp.stack([r * cos_phi * jnp.cos(theta),
+                     -r * cos_phi * jnp.sin(theta),
+                     r * jnp.sin(phi)], axis=-1)
+    return jnp.where(valid[:, None], pts, 0.0), valid
+
+
 def np_estimate_timestamps(points, clockwise: bool = True,
                            phi_0: float = 0.0):
     """Pure-numpy ``estimate_timestamps`` for per-frame host loader paths

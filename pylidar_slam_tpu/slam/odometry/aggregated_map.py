@@ -276,10 +276,13 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
     nks = int(map_cfg.normals_kernel_size)
 
     def dequant(points: jnp.ndarray, mask: jnp.ndarray):
-        """Expands compact uploads (packed uint16 / int16-quantized) to
-        float32 meters and derives the validity of the zero padding on
-        device (the host never uploads the mask -- see
+        """Expands compact uploads (range-image uint8 / packed uint16 /
+        int16-quantized) to float32 meters and derives the validity of the
+        zero padding on device (the host never uploads the mask -- see
         ICPFrameToModel._compact_upload)."""
+        if points.dtype == jnp.uint8:
+            points, pvalid = projection.decode_range_image(points, proj)
+            return points, mask & pvalid
         if points.dtype == jnp.uint16:
             points, pvalid = projection.decode_packed_upload(points, proj)
             return points, mask & pvalid

@@ -94,16 +94,26 @@ class ICPFrameToModelConfig(OdometryConfig):
     # Measured NOT to recover the quantization accuracy loss (sweep 4) --
     # kept as an option, default off.
     upload_dither: bool = False
-    # Upload encoding: "f32" (12 B/point xyz) or "packed" (8 B/point:
-    # uint16 pixel id + 2 mm range steps + f16 angular deltas -- <= 1 mm
-    # reconstruction error, 1.5x fewer tunnel bytes).  Packed requires the
-    # projector's H*W <= 65536 and applies to aggregated/kdtree modes.
+    # Upload encoding: "f32" (12 B/point xyz), "packed" (8 B/point: uint16
+    # pixel id + 2 mm range steps + f16 angular deltas -- <= 1 mm
+    # reconstruction error, 1.5x fewer tunnel bytes), or "rimg" (3 B/PIXEL
+    # fixed-shape z-buffered range image with 4+4-bit sub-pixel offsets:
+    # 196 KB/frame at 64x1024 at FULL scan density, shape-static, ~2.3 cm
+    # max reconstruction error), or "rimg16" (4 B/pixel, 8+8-bit sub-pixel:
+    # ~2 mm max error at full density -- the accuracy-preserving
+    # fixed-shape format).  packed needs H*W <= 65536; rimg/rimg16 need
+    # num_points_padded >= H*W.  All apply to aggregated/kdtree modes.
     upload_format: str = "f32"
     # Aggregated-map mode: frames per device execution (lax.scan).  B > 1
     # amortizes dispatch overhead; constant-velocity priors then chain on
     # device and per-frame `odometry_pose` outputs are unavailable (use
     # batch_size=1 when loop closure / backend consume per-frame poses).
     batch_size: int = 1
+    # kdtree (surfel) mode: shard the ICP target axis over this many devices
+    # (jax.sharding.Mesh + shard_map; each chip searches its target shard
+    # against the replicated map and the 6x6 normal equations psum over ICI
+    # -- SURVEY.md section 5.8b).  0/1 = single device.
+    shard_points: int = 0
 
 
 class ICPStepResult(NamedTuple):
@@ -253,10 +263,23 @@ class ICPFrameToModel:
             surfel_cfg = dataclass_from_dict(sm.SurfelRingMapConfig, lm_dict)
             self.local_map_size = int(surfel_cfg.local_map_size)
             self._surfel_cfg = surfel_cfg
+            shard_mesh = None
+            n_shard = int(getattr(config, "shard_points", 0) or 0)
+            if n_shard > 1:
+                from jax.sharding import Mesh
+                devices = jax.devices()
+                assert_debug(
+                    len(devices) >= n_shard,
+                    f"shard_points={n_shard} but only {len(devices)} "
+                    f"device(s) visible")
+                shard_mesh = Mesh(
+                    np.array(devices[:n_shard]), ("sp",))
             self._step, self._first, self._batch_step = \
                 sm.make_surfel_icp_frame_step(
+                    shard_mesh=shard_mesh,
                     proj=projector,
                     map_cfg=surfel_cfg,
+                    reassoc_every=int(getattr(config, "reassoc_every", 1) or 1),
                     max_num_alignments=int(config.max_num_alignments),
                     threshold_delta_pose=float(config.threshold_delta_pose),
                     threshold_trans=float(config.threshold_trans),
@@ -431,6 +454,17 @@ class ICPFrameToModel:
         nan_rows = np.isnan(pts).any(axis=1)
         if nan_rows.any():
             pts = pts[~nan_rows]
+        fmt = str(self.config.upload_format or "f32")
+        if fmt in ("rimg", "rimg16"):
+            # Fixed-shape range image: the z-buffer IS the capacity bound
+            # (1 point/pixel), so no overflow drop is ever needed.
+            h, w = self.projector.height, self.projector.width
+            assert_debug(cap >= h * w,
+                         f"rimg upload needs num_points_padded >= H*W "
+                         f"({cap} < {h * w})")
+            from pylidar_slam_tpu.ops import projection as proj_ops
+            return proj_ops.np_encode_range_image(pts, self.projector,
+                                                  sub16=(fmt == "rimg16"))
         if pts.shape[0] > cap:
             # Spatially uniform overflow drop (stride over scan order ==
             # azimuth-uniform).  Plain head-truncation would keep only the
@@ -617,8 +651,9 @@ class ICPFrameToModel:
                                          matches, inserted)
         self._params_log.append(pose_params[None])
         data_dict[self.relative_pose_key()] = rpose
-        if points.dtype == jnp.uint16:
-            # Encoded upload: downstream consumers get the raw meters cloud.
+        if points.dtype != jnp.float32:
+            # Encoded upload (packed/rimg/quantized): downstream consumers
+            # get the raw meters cloud.
             raw = data_dict.get(self.config.data_key)
             data_dict[self.pointcloud_key()] = \
                 np.asarray(raw)[:, :3] if raw is not None else points
@@ -721,7 +756,10 @@ class ICPFrameToModel:
 
         map_state = self._map_state
         cap = self.config.num_points_padded
-        if str(self.config.upload_format or "f32") == "packed" and \
+        fmt = str(self.config.upload_format or "f32")
+        if fmt in ("rimg", "rimg16"):
+            dtype, ncols = jnp.uint8, (4 if fmt == "rimg16" else 3)
+        elif fmt == "packed" and \
                 self.projector.height * self.projector.width <= 65536:
             dtype, ncols = jnp.uint16, 4
         elif float(self.config.upload_quantization or 0.0) > 0:

@@ -35,13 +35,19 @@ class SurfelRingMapConfig(LocalMapConfig):
     type: str = "kdtree_local_map"
     local_map_size: int = 20  # K frames kept
     num_neighbors_normals: int = 10  # kept for config parity (unused)
-    points_per_frame: int = 1024  # S grid-sampled map points per frame
-    sample_voxel_size: float = 0.6  # map-point grid sampling
+    points_per_frame: int = 4096  # S grid-sampled map points per frame
+    sample_voxel_size: float = 0.3  # map-point grid sampling
     target_samples: int = 16384  # grid-sampled ICP targets per frame (M)
     target_voxel_size: float = 0.4  # matches the reference's best config
     max_neighbor_dist: float = 1.0
     normals_kernel_size: int = 5
-    levenberg_damping: float = 1.0e-3  # sparse-map GN regularization
+    # Levenberg regularization of the GN normal equations.  Round-3 finding:
+    # the old 1e-3 default SYSTEMATICALLY under-steps along weakly
+    # constrained directions and was the dominant surfel accuracy loss
+    # (0.283% -> 0.086% tr_err on the 140-frame fixture at damping 0 with
+    # the dense map defaults above; the reference's GN has no damping,
+    # optimization.py:296-344).  Keep > 0 only for very sparse maps.
+    levenberg_damping: float = 0.0
 
 
 LOCAL_MAP.register("kdtree_local_map", object, SurfelRingMapConfig)
@@ -95,19 +101,35 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
                                gn_scheme: str,
                                gn_sigma: float,
                                gn_eps: float = 1.0e-4,
-                               upload_quantization: float = 0.0):
-    """Builds the jitted per-frame step for the surfel-ring odometry."""
+                               upload_quantization: float = 0.0,
+                               reassoc_every: int = 1,
+                               shard_mesh=None):
+    """Builds the jitted per-frame step for the surfel-ring odometry.
+
+    `shard_mesh`: optional 1-axis ``jax.sharding.Mesh`` ("sp"); the ICP
+    target axis is then sharded across its devices with ``shard_map`` --
+    each chip searches its target shard against the (replicated) map and
+    the 6x6 normal equations psum over ICI (SURVEY.md section 5.8b; wired
+    from ``slam.odometry.shard_points``)."""
     k = int(map_cfg.local_map_size)
     s = int(map_cfg.points_per_frame)
     m_targets = int(map_cfg.target_samples)
     max_nd = float(map_cfg.max_neighbor_dist)
     nks = int(map_cfg.normals_kernel_size)
     damping = float(map_cfg.levenberg_damping)
+    reassoc_every = max(int(reassoc_every or 1), 1)
+    if shard_mesh is not None:
+        n_shard = shard_mesh.devices.size
+        assert m_targets % n_shard == 0, (
+            f"target_samples {m_targets} must divide over {n_shard} devices")
 
     def dequant(points, mask):
-        """Compact-upload expansion (packed uint16 / int16) + device-side
-        validity of the zero padding (the host never uploads the mask --
-        ICPFrameToModel._compact_upload)."""
+        """Compact-upload expansion (rimg uint8 / packed uint16 / int16) +
+        device-side validity of the zero padding (the host never uploads the
+        mask -- ICPFrameToModel._compact_upload)."""
+        if points.dtype == jnp.uint8:
+            points, pvalid = projection.decode_range_image(points, proj)
+            return points, mask & pvalid
         if points.dtype == jnp.uint16:
             points, pvalid = projection.decode_packed_upload(points, proj)
             return points, mask & pvalid
@@ -116,14 +138,30 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
         mask = mask & (jnp.max(jnp.abs(points), axis=-1) > 0)
         return points, mask
 
-    def register(state: SurfelMapState, targets: jnp.ndarray,
-                 t_valid: jnp.ndarray, t_init: jnp.ndarray):
+    def _register_impl(state: SurfelMapState, targets: jnp.ndarray,
+                       t_valid: jnp.ndarray, t_init: jnp.ndarray,
+                       axis_name=None):
         def body(carry):
-            t, _, it, _, _ = carry
+            t, ref, nrm, _, it, _, _ = carry
             moved = se3.apply_transformation(targets[None], t[None])[0]
-            idx, sq_d = nn_argmin(moved, state.points, state.valid)
-            ref = jnp.take(state.points, idx, axis=0)
-            nrm = jnp.take(state.normals, idx, axis=0)
+
+            # Exact-NN re-search every `reassoc_every` iterations; in
+            # between, GN steps reuse the held correspondences with
+            # distances recomputed at the current pose (the agg map's
+            # round-2 trick -- the NN pass dominates the surfel step cost).
+            def research(_):
+                idx, sq = nn_argmin(moved, state.points, state.valid)
+                return (jnp.take(state.points, idx, axis=0),
+                        jnp.take(state.normals, idx, axis=0), sq)
+
+            def reuse(_):
+                return ref, nrm, jnp.sum((moved - ref) ** 2, axis=-1)
+
+            if reassoc_every <= 1:
+                ref, nrm, sq_d = research(None)
+            else:
+                ref, nrm, sq_d = jax.lax.cond(
+                    (it % reassoc_every) == 0, research, reuse, None)
             ok = t_valid & (sq_d < max_nd * max_nd) & \
                 (jnp.max(jnp.abs(nrm), axis=-1) > 0)
 
@@ -137,25 +175,52 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
                                                   sq_dists=sq_d, eps=gn_eps)
             weights = jnp.where(ok, weights, 0.0)
             dx, loss, singular = optimization.gauss_newton_step(
-                res, jac, weights, damping=damping)
+                res, jac, weights, damping=damping, axis_name=axis_name)
 
             delta_norm = jnp.linalg.norm(dx)
             apply = (delta_norm >= threshold_delta_pose) & (~singular)
             delta_mat = se3.build_pose_matrix(dx[None])[0]
             new_t = se3.normalize_pose_matrix((delta_mat @ t)[None])[0]
+            matches = jnp.sum(ok).astype(jnp.int32)
+            if axis_name is not None:
+                matches = jax.lax.psum(matches, axis_name)
             t_out = jnp.where(apply, new_t, t)
-            return (t_out, delta_norm, it + 1, loss,
-                    jnp.sum(ok).astype(jnp.int32))
+            return (t_out, ref, nrm, delta_norm, it + 1, loss, matches)
 
         def cond(carry):
-            _, delta_norm, it, _, _ = carry
+            _, _, _, delta_norm, it, _, _ = carry
             return (it < max_num_alignments) & (delta_norm >= threshold_delta_pose)
 
-        init = (t_init, jnp.array(jnp.inf, targets.dtype),
+        n_loc = targets.shape[0]
+        init = (t_init,
+                jnp.zeros((n_loc, 3), targets.dtype),
+                jnp.zeros((n_loc, 3), targets.dtype),
+                jnp.array(jnp.inf, targets.dtype),
                 jnp.array(0, jnp.int32), jnp.array(0.0, targets.dtype),
                 jnp.array(0, jnp.int32))
-        t, _, it, loss, matches = jax.lax.while_loop(cond, body, init)
+        t, _, _, _, it, loss, matches = jax.lax.while_loop(cond, body, init)
         return t, it, loss, matches
+
+    if shard_mesh is None:
+        register = _register_impl
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        axis = shard_mesh.axis_names[0]
+
+        def _register_sharded(state, targets, t_valid, t_init):
+            # Map state + pose replicated, targets sharded; every shard
+            # computes the identical replicated pose from the psum-ed normal
+            # equations, so the whole while_loop runs inside shard_map with
+            # one tiny collective per iteration.
+            return _register_impl(state, targets, t_valid, t_init,
+                                  axis_name=axis)
+
+        register = shard_map(
+            _register_sharded, mesh=shard_mesh,
+            in_specs=(P(), P(axis), P(axis), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_rep=False)
 
     def insert(state: SurfelMapState, points: jnp.ndarray, mask: jnp.ndarray,
                rpose: jnp.ndarray) -> SurfelMapState:

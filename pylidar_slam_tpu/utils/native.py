@@ -25,7 +25,7 @@ _load_attempted = False
 def _build() -> bool:
     try:
         subprocess.check_call(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
              str(_SRC), "-o", str(_LIB_PATH)],
             stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
         return True
@@ -58,6 +58,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.grid_sample_mask.restype = ctypes.c_int
         lib.grid_sample_mask.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_void_p]
+        lib.encode_range_image.restype = ctypes.c_int
+        lib.encode_range_image.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.c_void_p]
         _lib = lib
     except OSError as e:
         logger.warning("Could not load native library: %s", e)
@@ -115,3 +120,25 @@ def grid_sample_mask(points: np.ndarray, voxel_size: float) -> Optional[np.ndarr
                          points.shape[0], ctypes.c_float(voxel_size),
                          keep.ctypes.data_as(ctypes.c_void_p))
     return keep.astype(bool)
+
+
+def encode_range_image(points: np.ndarray, h: int, w: int,
+                       fov_up_rad: float, fov_down_rad: float,
+                       range_step: float,
+                       sub16: bool = False) -> Optional[np.ndarray]:
+    """O(n) single-pass z-buffered range-image encode -> (h*w, 3|4) uint8
+    rows [r_lo, r_hi, sub...] (4+4-bit or 8+8-bit sub-pixel offsets).
+    None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points[:, :3], np.float32)
+    out = np.zeros((h * w, 4 if sub16 else 3), np.uint8)
+    lib.encode_range_image(points.ctypes.data_as(ctypes.c_void_p),
+                           points.shape[0], h, w,
+                           ctypes.c_float(fov_up_rad),
+                           ctypes.c_float(fov_down_rad),
+                           ctypes.c_float(range_step),
+                           1 if sub16 else 0,
+                           out.ctypes.data_as(ctypes.c_void_p))
+    return out

@@ -109,3 +109,41 @@ def test_tensor_parallel_train_step_matches_single_device(tmp_path):
     loss1, loss2 = float(out1[3]), float(out2[3])
     assert np.isfinite(loss2)
     np.testing.assert_allclose(loss2, loss1, rtol=1e-4)
+
+
+def test_surfel_shard_points_matches_single_device():
+    """The user-facing `slam.odometry.shard_points` path: surfel ('kdtree')
+    odometry with the ICP target axis sharded over 8 devices must produce
+    the same trajectory as the single-device step (psum-ed 6x6 normal
+    equations are replicated-exact up to reduction order)."""
+    from pylidar_slam_tpu.dataset.synthetic import (SyntheticConfig,
+                                                    SyntheticSequence)
+    from pylidar_slam_tpu.ops.projection import SphericalProjection
+    from pylidar_slam_tpu.slam.odometry.icp_odometry import (
+        ICPFrameToModel, ICPFrameToModelConfig)
+
+    cfg = SyntheticConfig(lidar_height=32, lidar_width=256, num_frames=6)
+    seq = SyntheticSequence(cfg, "synth_00", seed=0)
+    frames = [np.asarray(seq[i]["numpy_pc"], np.float32) for i in range(6)]
+    proj = SphericalProjection(32, 256, 3.0, -24.0)
+
+    def run(shard):
+        icp = ICPFrameToModelConfig(
+            max_num_alignments=6,
+            local_map={"type": "kdtree_local_map", "local_map_size": 4,
+                       "points_per_frame": 512, "target_samples": 2048},
+            num_points_padded=8192, data_key="numpy_pc",
+            shard_points=shard)
+        odom = ICPFrameToModel(icp, projector=proj)
+        odom.init()
+        last = np.eye(4, dtype=np.float32)
+        for pc in frames:
+            d = {"numpy_pc": pc, "init_rpose": last}
+            odom.process_next_frame(d)
+            last = d.get("odometry_pose", last)
+        return odom.get_relative_poses()
+
+    poses1 = run(0)
+    poses8 = run(8)
+    assert poses1.shape == poses8.shape
+    np.testing.assert_allclose(poses8, poses1, atol=5e-4)

@@ -193,3 +193,49 @@ def test_packed_upload_azimuth_seam_wrap():
     z = np.zeros((8, 4), np.uint16)
     _, zvalid = projection.decode_packed_upload(jnp.asarray(z), proj)
     assert not bool(np.asarray(zvalid).any())
+
+
+@pytest.mark.parametrize("sub16", [False, True])
+def test_range_image_upload_roundtrip(sub16):
+    """Fixed-shape range-image codec: native C++ and numpy paths, both
+    sub-pixel widths; reconstruction within the documented bounds (~2.3 cm
+    for 4+4-bit, ~2 mm for 8+8-bit at <= 80 m)."""
+    from pylidar_slam_tpu.utils import native
+    rng = np.random.default_rng(7)
+    proj = projection.SphericalProjection(64, 1024, 3.0, -24.0)
+    n = 30000
+    theta = np.sort(rng.uniform(-np.pi, np.pi, n))
+    phi = rng.uniform(np.radians(-23.9), np.radians(2.9), n)
+    r = rng.uniform(2.0, 80.0, n)
+    pts = np.stack([r * np.cos(phi) * np.cos(theta),
+                    -r * np.cos(phi) * np.sin(theta),
+                    r * np.sin(phi)], -1).astype(np.float32)
+
+    buf = projection.np_encode_range_image(pts, proj, sub16=sub16)
+    assert buf.shape == (64 * 1024, 4 if sub16 else 3)
+    assert buf.dtype == np.uint8
+
+    # numpy fallback agrees with the native encoder on non-empty pixel set
+    # (winners may differ on sub-mm range ties / half-pixel boundaries)
+    lib_was, att_was = native._lib, native._load_attempted
+    native._lib, native._load_attempted = None, True
+    try:
+        buf_np = projection.np_encode_range_image(pts, proj, sub16=sub16)
+    finally:
+        native._lib, native._load_attempted = lib_was, att_was
+    occ = (buf[:, 0].astype(int) | (buf[:, 1].astype(int) << 8)) > 0
+    occ_np = (buf_np[:, 0].astype(int) | (buf_np[:, 1].astype(int) << 8)) > 0
+    assert (occ != occ_np).mean() < 1e-3
+
+    dec, valid = projection.decode_range_image(jnp.asarray(buf), proj)
+    dec, valid = np.asarray(dec), np.asarray(valid)
+    assert (valid == occ).all()
+    # every decoded point is close to SOME original point
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(pts).query(dec[valid], k=1)
+    assert d.max() < (0.004 if sub16 else 0.035), d.max()
+    # decoded points re-project onto their own pixel (pixel-consistency)
+    rows, cols, rr = proj.project(jnp.asarray(dec[valid]))
+    pix = np.where(valid)[0]
+    assert (np.round(np.asarray(rows)) == pix // 1024).all()
+    assert (np.round(np.asarray(cols)) % 1024 == pix % 1024).all()
