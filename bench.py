@@ -83,8 +83,10 @@ def main():
         local_map={"type": "aggregated_local_map", "local_map_size": 20,
                    "window_rows": 1, "window_cols": 2,
                    "max_neighbor_dist": 0.6},
-        alignment={"gauss_newton_config": {"scheme": "neighborhood",
-                                           "sigma": 0.2, "max_iters": 1}},
+        alignment={"gauss_newton_config": {
+            "scheme": os.environ.get("BENCH_SCHEME", "neighborhood"),
+            "sigma": float(os.environ.get("BENCH_SIGMA", "0.2")),
+            "max_iters": 1}},
         # 65536 covers grid-sampled scans with headroom (synthetic ~32k,
         # KITTI at 0.15 m ~50k); power-of-2 tiles measurably better than
         # 49152 on this device.  Overflow truncates (documented).

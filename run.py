@@ -55,31 +55,64 @@ def _split_sweep(argv: list):
 def run_multirun(config_dir: Path, argv: list):
     """Hydra-style `-m` sweep: cartesian product of comma-separated override
     values, one dated job dir per combination (reference docs/benchmark.md
-    sweeps + config/hydra/output/slam.yaml templating)."""
+    sweeps + config/hydra/output/slam.yaml templating).
+
+    `parallel_jobs=N` (consumed here, not part of the SLAM config) runs N
+    jobs concurrently, each pinned to its own accelerator via
+    ``jax.default_device`` round-robin over the visible devices -- the
+    TPU-native replacement for the reference's multirun-across-processes
+    workflow (SURVEY.md section 5.8c: different sequences/sweep points on
+    different chips; device compute overlaps across the job threads).
+    `parallel_jobs=auto` uses every visible device."""
     import datetime
     import itertools
 
     keys, value_sets, fixed = _split_sweep(argv)
     stamp = datetime.datetime.now().strftime("%Y-%m-%d/%H-%M-%S")
     sweep_root = Path(".outputs/multirun") / stamp
-    # An explicit log_dir override becomes the sweep root instead.
+    parallel_jobs = 1
+    # log_dir becomes the sweep root; parallel_jobs is a runner knob.
     for ov in list(fixed):
         if ov.startswith("log_dir="):
             sweep_root = Path(ov.split("=", 1)[1])
             fixed.remove(ov)
+        elif ov.startswith("parallel_jobs="):
+            value = ov.split("=", 1)[1]
+            parallel_jobs = 0 if value == "auto" else int(value)
+            fixed.remove(ov)
 
     combos = list(itertools.product(*value_sets)) if keys else [()]
     print(f"[multirun] {len(combos)} jobs -> {sweep_root}")
-    results = []
-    for idx, combo in enumerate(combos):
+
+    def one_job(idx, combo, device=None):
         job_overrides = fixed + [f"{k}={v}" for k, v in zip(keys, combo)]
         job_dir = sweep_root / str(idx)
         cfg = compose(str(config_dir), "slam",
                       job_overrides + [f"log_dir={job_dir}"])
         _stamp_hydra_dir(str(job_dir), job_overrides)
-        print(f"[multirun] job {idx}: {' '.join(job_overrides)}")
-        results.append(run_slam(cfg))
-    return results
+        print(f"[multirun] job {idx}: {' '.join(job_overrides)}"
+              + (f" [device {device}]" if device is not None else ""))
+        if device is None:
+            return run_slam(cfg)
+        import jax
+        with jax.default_device(device):
+            return run_slam(cfg)
+
+    if parallel_jobs == 1 or len(combos) == 1:
+        return [one_job(i, c) for i, c in enumerate(combos)]
+
+    import concurrent.futures
+
+    import jax
+    devices = jax.devices()
+    n_workers = min(len(devices) if parallel_jobs == 0 else parallel_jobs,
+                    len(combos))
+    print(f"[multirun] {n_workers} parallel workers over "
+          f"{len(devices)} device(s)")
+    with concurrent.futures.ThreadPoolExecutor(n_workers) as pool:
+        futures = [pool.submit(one_job, i, c, devices[i % len(devices)])
+                   for i, c in enumerate(combos)]
+        return [f.result() for f in futures]
 
 
 def main(argv=None):
