@@ -124,15 +124,21 @@ def main():
     prep_q: "_queue.Queue" = _queue.Queue(maxsize=2 * BATCH)
 
     def _prep_worker(frame_list):
+        # Grid-sample AND upload-encode in the worker: the encode leg
+        # (~3 ms/frame for the range-image codec) otherwise runs on the
+        # main thread, serialized with batch flushes.
         for f in frame_list:
-            prep_q.put(grid_sample(f))
+            g = grid_sample(f)
+            prep_q.put((g, odom.encode_upload(g)))
         prep_q.put(None)
 
     last_rpose = np.eye(4, dtype=np.float32)
 
-    def run_frame(points):
+    def run_frame(points, encoded=None):
         nonlocal last_rpose
         d = {"numpy_pc": points, "init_rpose": last_rpose}
+        if encoded is not None:
+            d["encoded_upload"] = encoded
         odom.process_next_frame(d)
         last_rpose = d.get("odometry_pose", last_rpose)
 
@@ -140,6 +146,10 @@ def main():
     # bleed into the timed region.
     for i in range(WARMUP):
         run_frame(grid_sample(frames[i % len(frames)]))
+    # finish() dispatches the warmup batch still in the async-upload stage --
+    # the batched executable's first (slow tunnel) compile MUST land here,
+    # not in the first timed repeat.
+    odom.finish()
     _ = np.asarray(odom.last_rpose_device)
 
     # Steady state timing.  The timed region is trimmed to whole device
@@ -155,12 +165,15 @@ def main():
                           daemon=True).start()
         t0 = time.perf_counter()
         while True:
-            points = prep_q.get()
-            if points is None:
+            item = prep_q.get()
+            if item is None:
                 break
-            run_frame(points)
-        # Force a REAL sync: np.asarray of a fresh device result drains the
-        # queue (block_until_ready does not synchronize on tunneled platforms).
+            run_frame(*item)
+        # Dispatch any batch whose upload is still in flight (async-upload
+        # pipeline defers each batch's compute by one flush), then force a
+        # REAL sync: np.asarray of a fresh device result drains the queue
+        # (block_until_ready does not synchronize on tunneled platforms).
+        odom.finish()
         _ = np.asarray(odom.last_rpose_device)
         rates.append(len(bench_frames) / (time.perf_counter() - t0))
 

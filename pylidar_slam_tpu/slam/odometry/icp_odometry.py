@@ -114,6 +114,13 @@ class ICPFrameToModelConfig(OdometryConfig):
     # against the replicated map and the 6x6 normal equations psum over ICI
     # -- SURVEY.md section 5.8b).  0/1 = single device.
     shard_points: int = 0
+    # Batched mode: issue each batch's stacked host->device transfer from a
+    # dedicated uploader thread and dispatch its compute one flush later, so
+    # the upload of batch k+1 overlaps the device execution of batch k
+    # (upload ~4.5 ms/frame and device ~5 ms/frame are the two comparable
+    # legs of the measured pipeline; serializing them is the throughput
+    # wall).  Costs one extra batch of result latency.
+    async_upload: bool = True
 
 
 class ICPStepResult(NamedTuple):
@@ -258,6 +265,14 @@ class ICPFrameToModel:
         gn_cfg = dataclass_from_dict(
             GaussNewtonConfig, align_cfg.get("gauss_newton_config", {}))
 
+        fmt = str(config.upload_format or "f32")
+        assert_debug(
+            fmt == "f32" or self._mode != "projective_local_map",
+            f"upload_format='{fmt}' has no effect with "
+            f"local_map.type=projective_local_map (it consumes vertex maps, "
+            f"not host point uploads) -- use the aggregated or kdtree map, "
+            f"or drop the override")
+
         if self._mode == "kdtree_local_map":
             from pylidar_slam_tpu.slam.odometry import surfel_map as sm
             surfel_cfg = dataclass_from_dict(sm.SurfelRingMapConfig, lm_dict)
@@ -336,6 +351,10 @@ class ICPFrameToModel:
         self.emit_batch_poses: bool = False
         self._pending_rposes: list = []
         self._pending_param_fetches: list = []
+        # Async-upload pipeline: the future of the batch whose H2D transfer
+        # is in flight but whose compute has not been dispatched yet.
+        self._upload_pool = None
+        self._inflight_upload = None
         self._device_pad_cache: dict = {}
         self._ones_mask_arr: Optional[jnp.ndarray] = None
         # Device-side pose log: one (6,) params array per frame.  Fetched in
@@ -366,6 +385,7 @@ class ICPFrameToModel:
         self._frame_buffer = []
         self._pending_rposes = []
         self._pending_param_fetches = []
+        self._inflight_upload = None
         self._iter = 0
         if int(self.config.batch_size or 1) > 1 and \
                 self._mode in ("aggregated_local_map", "kdtree_local_map"):
@@ -504,6 +524,14 @@ class ICPFrameToModel:
             buf[:n] = pts[:n]
         return buf
 
+    def encode_upload(self, arr: np.ndarray) -> np.ndarray:
+        """Host-side upload encoding, safe to call from prefetch workers.
+
+        Store the result under ``data_dict["encoded_upload"]`` to keep the
+        per-frame encode (NaN scrub + grid bucketing or range-image codec)
+        off the main pipeline thread in batched mode."""
+        return self._compact_host_buffer(np.asarray(arr))
+
     def _compact_upload(self, arr: np.ndarray):
         """Tunnel-frugal host->device upload of a raw scan (upload bandwidth
         is the measured bottleneck: ~45 MB/s through the tunneled chip)."""
@@ -607,7 +635,15 @@ class ICPFrameToModel:
             # (8 separate uploads measurably fragment tunnel bandwidth).
             raw = data_dict.get(self.config.data_key)
             arr = None if isinstance(raw, jnp.ndarray) else np.asarray(raw)
-            if arr is not None and arr.ndim == 2 and arr.shape[1] >= 3:
+            pre = data_dict.get("encoded_upload")
+            if pre is not None:
+                # The prefetch worker already ran encode_upload() off the
+                # main thread (the 3 ms/frame host encode otherwise
+                # serializes with flushes in the pipelined loop).
+                entry = pre
+                pc_out = entry if (entry.dtype == np.float32 or arr is None) \
+                    else arr[:, :3]
+            elif arr is not None and arr.ndim == 2 and arr.shape[1] >= 3:
                 entry = self._compact_host_buffer(arr)
                 # Downstream consumers (loop closure) need METERS; hand them
                 # the raw cloud when the upload buffer is an encoded format.
@@ -661,25 +697,22 @@ class ICPFrameToModel:
             data_dict[self.pointcloud_key()] = points
         self._iter += 1
 
-    def _flush_batch(self):
-        """Runs the buffered frames through one batched device execution."""
-        if not self._frame_buffer:
-            return
-        if isinstance(self._frame_buffer[0], np.ndarray):
-            # ONE stacked host->device transfer for the whole batch; pad to
-            # the static capacity on device.
-            bufs = self._frame_buffer
-            rows = max(b.shape[0] for b in bufs)
-            stacked = np.zeros((len(bufs), rows, bufs[0].shape[1]),
-                               bufs[0].dtype)
-            for i, b in enumerate(bufs):
-                stacked[i, :b.shape[0]] = b
-            pts = self._device_pad_batch(jnp.asarray(stacked))
-            msks = self._ones_mask_batch(len(bufs))
-        else:
-            pts = jnp.stack([p for p, _ in self._frame_buffer])
-            msks = jnp.stack([m for _, m in self._frame_buffer])
-        self._frame_buffer = []
+    def _stack_and_upload(self, bufs: list):
+        """Stacks host buffers and issues the ONE batched H2D transfer.
+
+        Called either inline (sync path) or from the uploader thread (the
+        async path, where the transfer overlaps the previous batch's device
+        execution)."""
+        rows = max(b.shape[0] for b in bufs)
+        stacked = np.zeros((len(bufs), rows, bufs[0].shape[1]), bufs[0].dtype)
+        for i, b in enumerate(bufs):
+            stacked[i, :b.shape[0]] = b
+        pts = self._device_pad_batch(jnp.asarray(stacked))
+        msks = self._ones_mask_batch(len(bufs))
+        return pts, msks
+
+    def _dispatch_batch(self, pts, msks):
+        """Dispatches one batched device execution (async w.r.t. the host)."""
         if self.last_rpose_device is None:
             self.last_rpose_device = jnp.eye(4, dtype=jnp.float32)
         (self._map_state, self._delta_since_update, self.last_rpose_device,
@@ -698,9 +731,47 @@ class ICPFrameToModel:
                 pass
             self._pending_param_fetches.append(params)
 
+    def _dispatch_inflight(self):
+        """Dispatches the batch whose upload was running in the background."""
+        if self._inflight_upload is not None:
+            fut = self._inflight_upload
+            self._inflight_upload = None
+            pts, msks = fut.result()
+            self._dispatch_batch(pts, msks)
+
+    def _flush_batch(self):
+        """Runs the buffered frames through one batched device execution."""
+        if not self._frame_buffer:
+            return
+        bufs = self._frame_buffer
+        self._frame_buffer = []
+        if isinstance(bufs[0], np.ndarray):
+            if bool(self.config.async_upload):
+                # Double-buffered pipeline: start THIS batch's transfer in
+                # the uploader thread, then dispatch the PREVIOUS batch
+                # (whose transfer had the whole accumulate phase + this
+                # call's gap to complete) -- its compute now runs while the
+                # new transfer streams through the tunnel.
+                if self._upload_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._upload_pool = ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="icp-upload")
+                fut = self._upload_pool.submit(self._stack_and_upload, bufs)
+                self._dispatch_inflight()
+                self._inflight_upload = fut
+                return
+            pts, msks = self._stack_and_upload(bufs)
+        else:
+            pts = jnp.stack([p for p, _ in bufs])
+            msks = jnp.stack([m for _, m in bufs])
+        self._dispatch_batch(pts, msks)
+
     def _flush_remainder(self):
         """Processes a final partial buffer with the per-frame step (avoids
         retracing the batched executable for a different batch size)."""
+        # Dispatch the batch whose upload is still in flight FIRST: the map
+        # state must chain in frame order before the remainder frames run.
+        self._dispatch_inflight()
         # Drain any still-queued batched fetches FIRST: _pending_rposes must
         # stay in frame order, and the remainder frames come after every
         # already-flushed batch.
@@ -732,6 +803,8 @@ class ICPFrameToModel:
         on the tunneled chip while the queue is busy, so downstream consumers
         run a few batches behind) unless `final` is True.
         """
+        if final:
+            self._dispatch_inflight()
         keep_in_flight = 0 if final else 4
         while len(self._pending_param_fetches) > keep_in_flight:
             params = self._pending_param_fetches.pop(0)
@@ -745,6 +818,8 @@ class ICPFrameToModel:
         """Flushes any partially-filled batch buffer at sequence end."""
         if self._frame_buffer:
             self._flush_remainder()
+        else:
+            self._dispatch_inflight()
 
     def _prewarm_single_step(self):
         """Background-compiles the per-frame step used by _flush_remainder so
@@ -784,6 +859,8 @@ class ICPFrameToModel:
         """One batched device->host fetch of all logged pose params (T, 6)."""
         if self._frame_buffer:
             self._flush_remainder()
+        else:
+            self._dispatch_inflight()
         if not self._params_log:
             return None
         return np.asarray(jnp.concatenate(self._params_log, axis=0),

@@ -77,8 +77,9 @@ class _Prefetcher:
     """
 
     def __init__(self, dataset, depth: int = 4, max_frames: int = -1,
-                 num_workers: int = 1):
+                 num_workers: int = 1, transform=None):
         self.dataset = dataset
+        self.transform = transform
         self.n = len(dataset) if max_frames < 0 else min(len(dataset), max_frames)
         self.num_workers = max(1, int(num_workers))
         self._sem = threading.Semaphore(max(depth, self.num_workers))
@@ -106,7 +107,10 @@ class _Prefetcher:
                     self._cond.notify_all()
                 return
             try:
-                item = ("ok", self.dataset[i])
+                d = self.dataset[i]
+                if self.transform is not None:
+                    self.transform(d)
+                item = ("ok", d)
             except Exception as e:  # surfaced on the consumer thread
                 item = ("err", e)
             with self._cond:
@@ -178,7 +182,8 @@ class SLAMRunner:
                               self.dataset_loader.max_num_workers())
                 for data_dict in _Prefetcher(dataset,
                                              max_frames=self.config.max_num_frames,
-                                             num_workers=workers):
+                                             num_workers=workers,
+                                             transform=slam.host_prepare):
                     slam.process_next_frame(data_dict)
                     frame_count += 1
                     if map_clouds is not None:

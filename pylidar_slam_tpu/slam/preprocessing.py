@@ -73,6 +73,11 @@ class FilterConfig:
 
 
 class Filter:
+    # Filters that read only the frame's own data may run out of frame
+    # order in prefetch workers (SLAM.host_prepare); filters that consume
+    # upstream per-frame state (the initialization prior) may not.
+    worker_safe = True
+
     def __init__(self, config: FilterConfig, **kwargs):
         # kwargs absorbs pipeline-level context (projector, pose) that some
         # filters use and others ignore.
@@ -151,6 +156,8 @@ class DistortionConfig(FilterConfig):
 class Distortion(Filter):
     """Motion de-skew: slerp the initial pose over per-point timestamps
     (reference preprocessing.py:144-191)."""
+
+    worker_safe = False  # reads the initialization prior (pose_key)
 
     def filter(self, data_dict: dict):
         cfg = self.config
@@ -244,6 +251,10 @@ class Preprocessing:
         if isinstance(filters_config, dict):
             for key in sorted(filters_config.keys()):
                 self.filters.append(load_filter(dict(filters_config[key]), **kwargs))
+
+    @property
+    def worker_safe(self) -> bool:
+        return all(getattr(f, "worker_safe", False) for f in self.filters)
 
     def forward(self, data_dict: dict):
         for f in self.filters:

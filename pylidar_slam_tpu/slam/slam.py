@@ -142,12 +142,40 @@ class SLAM:
             self.odometry.emit_batch_poses = (
                 self.loop_closure is not None or self.backend is not None)
 
+    def host_prepare(self, data_dict: dict):
+        """Order-independent host-side stages, safe in prefetch workers.
+
+        Runs the (stateless, per-frame) preprocessing filters and -- for the
+        batched ICP odometry -- the upload encoding, so neither serializes
+        with device flushes on the main pipeline thread.  Stateful stages
+        (initialization, odometry, loop closure, backend) still run in
+        frame order in :meth:`process_next_frame`."""
+        if self.preprocessing is not None:
+            if not self.preprocessing.worker_safe:
+                # Stateful preprocessing (e.g. Distortion needs the init
+                # prior) must wait for process_next_frame -- and so must the
+                # upload encoding, which consumes its output.
+                return
+            self.preprocessing.forward(data_dict)
+            data_dict["_host_prepared"] = True
+        odom = self.odometry
+        if (getattr(odom, "encode_upload", None) is not None
+                and int(getattr(odom.config, "batch_size", 1) or 1) > 1
+                and getattr(odom, "_mode", "") in ("aggregated_local_map",
+                                                   "kdtree_local_map")):
+            raw = data_dict.get(odom.config.data_key)
+            if raw is not None and not hasattr(raw, "devices"):
+                arr = np.asarray(raw)
+                if arr.ndim == 2 and arr.shape[1] >= 3:
+                    data_dict["encoded_upload"] = odom.encode_upload(arr)
+
     def process_next_frame(self, data_dict: dict):
         beginning = time.time()
 
         if self.initialization is not None:
             self.initialization.next_frame(data_dict)
-        if self.preprocessing is not None:
+        if self.preprocessing is not None and \
+                not data_dict.pop("_host_prepared", False):
             self.preprocessing.forward(data_dict)
 
         self.odometry.process_next_frame(data_dict)
