@@ -37,10 +37,13 @@ BATCH = int(os.environ.get("BENCH_BATCH", "12"))
 # the first timed repeat.
 WARMUP = int(os.environ.get("BENCH_WARMUP", str(BATCH + 1)))
 # Host grid-sample voxel size (the reference's own preprocessing stage,
-# preprocessing.py:195-226; its best KITTI config samples at 0.4).  0.15 m
-# halves the uploaded points at UNCHANGED tr_err (round-2 sweep) -- upload
-# bandwidth through the tunneled chip (~45 MB/s) is the measured bottleneck.
-VOXEL = float(os.environ.get("BENCH_VOXEL", "0.15"))
+# preprocessing.py:195-226; its best KITTI config samples at 0.4).  With the
+# rimg8 fixed-shape upload the transfer size no longer depends on the point
+# count (the z-buffer IS the density bound), so the round-3 default keeps
+# FULL density: skips the host grid-sample AND scores 0.144% vs 0.395%
+# tr_err (geman 0.3 on dense input -- round-3 sweep).  BENCH_VOXEL=0.15
+# restores the sparse pipeline for packed/f32 formats.
+VOXEL = float(os.environ.get("BENCH_VOXEL", "0.0"))
 
 
 def load_frames():
@@ -74,9 +77,11 @@ def main():
     frames, proj, source = load_frames()
 
     # The tuned accuracy configuration (meets the BASELINE accuracy bar):
-    # neighborhood-weighted GN, reassociation every 4 iterations (measured
-    # BOTH faster and more accurate than every 2 -- round-2 sweep), f32
-    # compact uploads (int16 quantization costs ~0.3pt tr_err).
+    # geman_mcclure-weighted GN on FULL-density rimg8 input (0.1439% tr_err
+    # on the 140-frame fixture -- round-3 sweep; geman beats neighborhood on
+    # dense clouds, the reverse holds on grid-sampled input), reassociation
+    # every 4 iterations (measured BOTH faster and more accurate than every
+    # 2 -- round-2 sweep).
     icp_cfg = ICPFrameToModelConfig(
         max_num_alignments=int(os.environ.get("BENCH_ITERS", "12")),
         reassoc_every=int(os.environ.get("BENCH_REASSOC", "4")),
@@ -84,21 +89,28 @@ def main():
                    "window_rows": 1, "window_cols": 2,
                    "max_neighbor_dist": 0.6},
         alignment={"gauss_newton_config": {
-            "scheme": os.environ.get("BENCH_SCHEME", "neighborhood"),
-            "sigma": float(os.environ.get("BENCH_SIGMA", "0.2")),
+            "scheme": os.environ.get("BENCH_SCHEME", "geman_mcclure"),
+            "sigma": float(os.environ.get("BENCH_SIGMA", "0.3")),
             "max_iters": 1}},
         # 65536 covers grid-sampled scans with headroom (synthetic ~32k,
         # KITTI at 0.15 m ~50k); power-of-2 tiles measurably better than
         # 49152 on this device.  Overflow truncates (documented).
-        num_points_padded=int(os.environ.get("BENCH_CAP", "65536")),
+        # rimg8 buffers carry (H+W)/2 plane rows past H*W; 66560 = next
+        # multiple of 1024 (XLA-friendly tiles).
+        num_points_padded=int(os.environ.get(
+            "BENCH_CAP",
+            "66560" if os.environ.get("BENCH_FORMAT", "rimg8") == "rimg8"
+            else "65536")),
         data_key="numpy_pc",
         batch_size=BATCH,
         upload_quantization=float(os.environ.get("BENCH_QUANT", "0.0")),
-        # Packed 8 B/point upload (uint16 pixel + 2 mm range + f16 angular
-        # deltas): 1.5x fewer tunnel bytes at +0.03pt tr_err (0.203% vs
-        # 0.173% on the 140-frame synthetic) -- the upload path is the
-        # measured bottleneck.  BENCH_FORMAT=f32 reverts.
-        upload_format=os.environ.get("BENCH_FORMAT", "packed"),
+        # rimg8 fixed-shape upload (2 B/pixel z-buffered ranges + 8-bit
+        # per-row/per-col mean angular offset planes, 132 KB/frame at
+        # 64x1024): the fewest tunnel bytes of any format, shape-static,
+        # and carries FULL scan density -- 0.1439% tr_err on the 140-frame
+        # fixture (vs 0.395% for the round-2 packed+grid-sampled default).
+        # BENCH_FORMAT=packed/f32 + BENCH_VOXEL=0.15 revert.
+        upload_format=os.environ.get("BENCH_FORMAT", "rimg8"),
     )
     odom = ICPFrameToModel(icp_cfg, projector=proj)
     odom.init()

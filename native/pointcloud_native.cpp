@@ -209,23 +209,31 @@ int grid_sample_mask(const float* points, int n, float voxel_size,
 // Encodes an (n, 3) float32 cloud into the fixed-shape range-image upload
 // buffer.  Per pixel the CLOSEST point wins (the spherical z-buffer,
 // reference projection.py:403-415); r is its range in `range_step` steps
-// (uint16 LE, 0 = empty pixel).  Two sub-pixel precisions:
-//   sub16 == 0: (h*w, 3) rows [r_lo, r_hi, sub] with 4+4-bit offsets
-//               ((dtheta_q << 4) | dphi_q, bin centers ((q+0.5)/16 - 0.5));
-//   sub16 != 0: (h*w, 4) rows [r_lo, r_hi, sub_t, sub_p] with 8-bit bins
-//               (centers ((q+0.5)/256 - 0.5) pixels -- ~0.7 mm tangential
-//               at 30 m, negligible next to sensor noise).
+// (uint16 LE, 0 = empty pixel).  Three modes:
+//   mode == 0: (h*w, 3) rows [r_lo, r_hi, sub] with 4+4-bit offsets
+//              ((dtheta_q << 4) | dphi_q, bin centers ((q+0.5)/16 - 0.53));
+//   mode == 1: (h*w, 4) rows [r_lo, r_hi, sub_t, sub_p] with 8-bit bins
+//              (centers ((q+0.5)/256 - 0.53) pixels -- ~0.7 mm tangential
+//              at 30 m, negligible next to sensor noise);
+//   mode == 2: (h*w + (h+w)/2, 2) rows [r_lo, r_hi] followed by per-ROW
+//              mean elevation offsets (h bytes) and per-COLUMN mean azimuth
+//              offsets (w bytes) packed 2 bytes/row -- a spinning LiDAR's
+//              beam angles are (row, col)-separable, so 8-bit PLANE means
+//              replace the per-pixel offset field at 2/3 the bytes.
 // Projection model and seam wrap match ops/projection.py exactly.  O(n),
 // single pass, no sort.  Returns the number of non-empty pixels.
 int encode_range_image(const float* pts, int n, int h, int w,
                        float fov_up, float fov_down, float range_step,
-                       int sub16, uint8_t* out) {
+                       int mode, uint8_t* out) {
+    const int sub16 = (mode == 1);
+    const int planes = (mode == 2);
     const float pi = 3.14159265358979f;
     const float fov = std::fabs(fov_up) + std::fabs(fov_down);
     const float abs_down = std::fabs(fov_down);
     const int hw = h * w;
-    const int bpp = sub16 ? 4 : 3;
-    std::memset(out, 0, static_cast<size_t>(hw) * bpp);
+    const int bpp = sub16 ? 4 : (planes ? 2 : 3);
+    const size_t out_rows = planes ? hw + (h + w + 1) / 2 : hw;
+    std::memset(out, 0, out_rows * bpp);
 
     const float pw = 2.0f * pi / static_cast<float>(w);   // azimuth/pixel
     const float ph = fov / static_cast<float>(h);         // elevation/pixel
@@ -300,6 +308,71 @@ int encode_range_image(const float* pts, int n, int h, int w,
                 bidx[pix] = i;
             }
         }
+    }
+
+    // Phase 2 (planes mode): serial merge accumulating per-row/per-column
+    // mean angular offsets of the winners (65k pixels of sum/compare --
+    // cheaper than any parallel merge of the accumulators).
+    if (planes) {
+        double* row_sum = new double[h]();
+        double* col_sum = new double[w]();
+        int* row_cnt = new int[h]();
+        int* col_cnt = new int[w]();
+        int hits2 = 0;
+        for (int pix = 0; pix < hw; ++pix) {
+            uint16_t best = 0xffff;
+            int32_t win = -1;
+            for (int t = 0; t < nt; ++t) {
+                uint16_t s = steps_t[static_cast<size_t>(t) * hw + pix];
+                if (s == 0xffff) continue;
+                int32_t bi = idx_t[static_cast<size_t>(t) * hw + pix];
+                if (s < best || (s == best && bi < win)) {
+                    best = s;
+                    win = bi;
+                }
+            }
+            if (win < 0) continue;
+            ++hits2;
+            out[2 * pix + 0] = static_cast<uint8_t>(best & 0xff);
+            out[2 * pix + 1] = static_cast<uint8_t>(best >> 8);
+            int row = pix / w, col = pix % w;
+            float theta_c = (2.0f * static_cast<float>(col) /
+                             static_cast<float>(w) - 1.0f) * pi;
+            float phi_c = (1.0f - static_cast<float>(row) /
+                           static_cast<float>(h)) * fov - abs_down;
+            float dtheta = thetas[win] - theta_c;
+            if (dtheta > pi) dtheta -= 2.0f * pi;
+            else if (dtheta < -pi) dtheta += 2.0f * pi;
+            float dphi = phis[win] - phi_c;
+            col_sum[col] += dtheta / pw + 0.53f;
+            col_cnt[col] += 1;
+            row_sum[row] += dphi / ph + 0.47f;
+            row_cnt[row] += 1;
+        }
+        // Plane tail: h row bytes then w column bytes, 2 per output row
+        // (quantized q = floor(mean * 256), decode (q + 0.5)/256).
+        uint8_t* tail = out + static_cast<size_t>(2) * hw;
+        for (int r2 = 0; r2 < h; ++r2) {
+            double m = row_cnt[r2] ? row_sum[r2] / row_cnt[r2] : 0.5;
+            int q = static_cast<int>(std::floor(m * 256.0));
+            if (q < 0) q = 0; else if (q > 255) q = 255;
+            tail[r2] = static_cast<uint8_t>(q);
+        }
+        for (int c2 = 0; c2 < w; ++c2) {
+            double m = col_cnt[c2] ? col_sum[c2] / col_cnt[c2] : 0.5;
+            int q = static_cast<int>(std::floor(m * 256.0));
+            if (q < 0) q = 0; else if (q > 255) q = 255;
+            tail[h + c2] = static_cast<uint8_t>(q);
+        }
+        delete[] row_sum;
+        delete[] col_sum;
+        delete[] row_cnt;
+        delete[] col_cnt;
+        delete[] steps_t;
+        delete[] idx_t;
+        delete[] thetas;
+        delete[] phis;
+        return hits2;
     }
 
     // Phase 2: merge per-thread winners and emit the packed bytes.

@@ -208,7 +208,8 @@ def decode_packed_upload(buf: jnp.ndarray, proj: SphericalProjection):
 
 def np_encode_range_image(pts: "np.ndarray", proj: SphericalProjection,
                           range_step: float = PACKED_RANGE_STEP,
-                          sub16: bool = False):
+                          sub16: bool = False,
+                          planes: bool = False):
     """Encodes an (N, 3) cloud into the FIXED-SHAPE range-image upload.
 
     Layout: (H*W, 3) uint8 rows [r_lo, r_hi, sub] -- a z-buffered spherical
@@ -223,6 +224,14 @@ def np_encode_range_image(pts: "np.ndarray", proj: SphericalProjection,
     (0.011 deg az / 0.013 deg elev at 64x1024 -> ~6 mm tangential at 30 m,
     below typical LiDAR sensor noise).
 
+    `planes` selects the 2 B/pixel layout instead: (H*W + (H+W)/2, 2)
+    range-only pixels followed by per-ROW mean elevation offsets (H bytes)
+    and per-COLUMN mean azimuth offsets (W bytes), 2 bytes per output row.
+    A spinning LiDAR's beam angles are (row, col)-separable, so the 8-bit
+    plane means carry the same information as per-pixel offsets at 2/3 the
+    bytes (131 KB/frame at 64x1024) -- exact on regular firing patterns,
+    drops only per-pixel azimuth jitter on real sensors.
+
     Uses the O(n) native C++ single-pass encoder when available
     (native/pointcloud_native.cpp:encode_range_image); numpy sort-based
     fallback otherwise.  Replaces reference _read_input + projector
@@ -236,7 +245,7 @@ def np_encode_range_image(pts: "np.ndarray", proj: SphericalProjection,
 
     from pylidar_slam_tpu.utils import native
     out = native.encode_range_image(pts, h, w, fov_up, fov_down, range_step,
-                                    sub16=sub16)
+                                    sub16=sub16, planes=planes)
     if out is not None:
         return out
 
@@ -269,6 +278,34 @@ def np_encode_range_image(pts: "np.ndarray", proj: SphericalProjection,
     phi_c = (1.0 - row / h) * fov - abs(fov_down)
     dtheta = (theta - theta_c + math.pi) % (2.0 * math.pi) - math.pi
     dphi = phi - phi_c
+
+    if planes:
+        out = np.zeros((h * w + (h + w + 1) // 2, 2), np.uint8)
+        out[pix[order], 0] = (steps[order] & 0xFF).astype(np.uint8)
+        out[pix[order], 1] = (steps[order] >> 8).astype(np.uint8)
+        # Winner per pixel (last write in descending-range order = closest);
+        # plane means are taken over the winners, matching what decodes.
+        win = np.full(h * w, -1, np.int64)
+        win[pix[order]] = order
+        wi = win[win >= 0]
+        wpix = np.nonzero(win >= 0)[0]
+        wr = wpix // w
+        wc = wpix % w
+        tq = dtheta[wi] / pw + 0.53
+        pq = dphi[wi] / ph + 0.47
+        row_sum = np.bincount(wr, weights=pq, minlength=h)
+        row_cnt = np.bincount(wr, minlength=h)
+        col_sum = np.bincount(wc, weights=tq, minlength=w)
+        col_cnt = np.bincount(wc, minlength=w)
+        row_mean = np.where(row_cnt > 0, row_sum / np.maximum(row_cnt, 1), 0.5)
+        col_mean = np.where(col_cnt > 0, col_sum / np.maximum(col_cnt, 1), 0.5)
+        tail = np.zeros(((h + w + 1) // 2) * 2, np.uint8)
+        tail[:h] = np.clip(np.floor(row_mean * 256.0), 0, 255).astype(np.uint8)
+        tail[h:h + w] = np.clip(np.floor(col_mean * 256.0), 0,
+                                255).astype(np.uint8)
+        out[h * w:] = tail.reshape(-1, 2)
+        return out
+
     bins = 256.0 if sub16 else 16.0
     hi = 255 if sub16 else 15
     # quantizer windows match the biased rounding above: dtheta/pw in
@@ -305,7 +342,19 @@ def decode_range_image(buf: jnp.ndarray, proj: SphericalProjection,
     n = buf.shape[0]
     steps = buf[:, 0].astype(jnp.int32) | (buf[:, 1].astype(jnp.int32) << 8)
     valid = steps > 0
-    if buf.shape[1] == 4:  # 8+8-bit sub-pixel
+    pix = jnp.arange(n, dtype=jnp.int32) % (h * w)
+    pw = 2.0 * math.pi / w
+    ph = fov / h
+    if buf.shape[1] == 2:  # range-only pixels + angular plane tail
+        tail = buf[h * w:h * w + (h + w + 1) // 2, :2].reshape(-1)
+        rowq = tail[:h].astype(jnp.float32)
+        colq = tail[h:h + w].astype(jnp.float32)
+        qt = jnp.take(colq, pix % w)
+        qp = jnp.take(rowq, pix // w)
+        bins = 256.0
+        # plane rows carry no pixels of their own
+        valid = valid & (jnp.arange(n) < h * w)
+    elif buf.shape[1] == 4:  # 8+8-bit sub-pixel
         qt = buf[:, 2].astype(jnp.float32)
         qp = buf[:, 3].astype(jnp.float32)
         bins = 256.0
@@ -315,11 +364,8 @@ def decode_range_image(buf: jnp.ndarray, proj: SphericalProjection,
         qp = (sub & 0xF).astype(jnp.float32)
         bins = 16.0
 
-    pix = jnp.arange(n, dtype=jnp.int32) % (h * w)
     row = (pix // w).astype(jnp.float32)
     col = (pix % w).astype(jnp.float32)
-    pw = 2.0 * math.pi / w
-    ph = fov / h
     theta = (2.0 * col / w - 1.0) * math.pi + ((qt + 0.5) / bins - 0.53) * pw
     phi = (1.0 - row / h) * fov - abs(fov_down) + ((qp + 0.5) / bins - 0.47) * ph
     r = steps.astype(jnp.float32) * range_step

@@ -101,8 +101,11 @@ class ICPFrameToModelConfig(OdometryConfig):
     # 196 KB/frame at 64x1024 at FULL scan density, shape-static, ~2.3 cm
     # max reconstruction error), or "rimg16" (4 B/pixel, 8+8-bit sub-pixel:
     # ~2 mm max error at full density -- the accuracy-preserving
-    # fixed-shape format).  packed needs H*W <= 65536; rimg/rimg16 need
-    # num_points_padded >= H*W.  All apply to aggregated/kdtree modes.
+    # fixed-shape format), or "rimg8" (2 B/pixel ranges + per-row/per-col
+    # 8-bit mean angular offset planes, 131 KB/frame at 64x1024: exact on
+    # regular firing patterns, drops per-pixel azimuth jitter on real
+    # sensors).  packed needs H*W <= 65536; rimg/rimg16 need
+    # num_points_padded >= H*W (rimg8: + (H+W)/2 plane rows).  All apply to aggregated/kdtree modes.
     upload_format: str = "f32"
     # Aggregated-map mode: frames per device execution (lax.scan).  B > 1
     # amortizes dispatch overhead; constant-velocity priors then chain on
@@ -475,16 +478,18 @@ class ICPFrameToModel:
         if nan_rows.any():
             pts = pts[~nan_rows]
         fmt = str(self.config.upload_format or "f32")
-        if fmt in ("rimg", "rimg16"):
+        if fmt in ("rimg", "rimg16", "rimg8"):
             # Fixed-shape range image: the z-buffer IS the capacity bound
             # (1 point/pixel), so no overflow drop is ever needed.
             h, w = self.projector.height, self.projector.width
-            assert_debug(cap >= h * w,
-                         f"rimg upload needs num_points_padded >= H*W "
-                         f"({cap} < {h * w})")
+            need = h * w + ((h + w + 1) // 2 if fmt == "rimg8" else 0)
+            assert_debug(cap >= need,
+                         f"{fmt} upload needs num_points_padded >= {need} "
+                         f"(got {cap})")
             from pylidar_slam_tpu.ops import projection as proj_ops
             return proj_ops.np_encode_range_image(pts, self.projector,
-                                                  sub16=(fmt == "rimg16"))
+                                                  sub16=(fmt == "rimg16"),
+                                                  planes=(fmt == "rimg8"))
         if pts.shape[0] > cap:
             # Spatially uniform overflow drop (stride over scan order ==
             # azimuth-uniform).  Plain head-truncation would keep only the
@@ -832,8 +837,9 @@ class ICPFrameToModel:
         map_state = self._map_state
         cap = self.config.num_points_padded
         fmt = str(self.config.upload_format or "f32")
-        if fmt in ("rimg", "rimg16"):
-            dtype, ncols = jnp.uint8, (4 if fmt == "rimg16" else 3)
+        if fmt in ("rimg", "rimg16", "rimg8"):
+            dtype, ncols = jnp.uint8, {"rimg": 3, "rimg16": 4,
+                                       "rimg8": 2}[fmt]
         elif fmt == "packed" and \
                 self.projector.height * self.projector.width <= 65536:
             dtype, ncols = jnp.uint16, 4

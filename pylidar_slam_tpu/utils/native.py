@@ -125,20 +125,29 @@ def grid_sample_mask(points: np.ndarray, voxel_size: float) -> Optional[np.ndarr
 def encode_range_image(points: np.ndarray, h: int, w: int,
                        fov_up_rad: float, fov_down_rad: float,
                        range_step: float,
-                       sub16: bool = False) -> Optional[np.ndarray]:
-    """O(n) single-pass z-buffered range-image encode -> (h*w, 3|4) uint8
-    rows [r_lo, r_hi, sub...] (4+4-bit or 8+8-bit sub-pixel offsets).
-    None if the native library is unavailable."""
+                       sub16: bool = False,
+                       planes: bool = False) -> Optional[np.ndarray]:
+    """O(n) single-pass z-buffered range-image encode.
+
+    Default: (h*w, 3) rows [r_lo, r_hi, sub] (4+4-bit sub-pixel offsets);
+    sub16: (h*w, 4) with 8+8-bit offsets; planes: (h*w + (h+w)/2, 2)
+    range-only pixels followed by per-row/per-column mean angular offset
+    planes.  None if the native library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
     points = np.ascontiguousarray(points[:, :3], np.float32)
-    out = np.zeros((h * w, 4 if sub16 else 3), np.uint8)
+    if planes:
+        out = np.zeros((h * w + (h + w + 1) // 2, 2), np.uint8)
+        mode = 2
+    else:
+        out = np.zeros((h * w, 4 if sub16 else 3), np.uint8)
+        mode = 1 if sub16 else 0
     lib.encode_range_image(points.ctypes.data_as(ctypes.c_void_p),
                            points.shape[0], h, w,
                            ctypes.c_float(fov_up_rad),
                            ctypes.c_float(fov_down_rad),
                            ctypes.c_float(range_step),
-                           1 if sub16 else 0,
+                           mode,
                            out.ctypes.data_as(ctypes.c_void_p))
     return out

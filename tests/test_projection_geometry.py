@@ -240,3 +240,44 @@ def test_range_image_upload_roundtrip(sub16):
     pix = np.where(valid)[0]
     assert (np.floor(np.asarray(rows) + 0.53) == pix // 1024).all()
     assert (np.floor(np.asarray(cols) + 0.53) % 1024 == pix % 1024).all()
+
+
+def test_range_image_planes_roundtrip():
+    """rimg8 (2 B/pixel + angular plane tail): on a (row, col)-separable
+    firing pattern -- what a spinning LiDAR produces -- the per-row/per-col
+    8-bit plane means recover the beam angles to 1/256 px, so reconstruction
+    matches the 8+8-bit per-pixel format (~5 mm at <= 80 m)."""
+    from pylidar_slam_tpu.utils import native
+    rng = np.random.default_rng(3)
+    proj = projection.SphericalProjection(64, 1024, 3.0, -24.0)
+    h, w = 64, 1024
+    fov = np.radians(3.0) + np.radians(24.0)
+    # beam grid with FIXED per-row elevation and per-col azimuth offsets
+    row_off = rng.uniform(-0.4, 0.4, h)
+    col_off = rng.uniform(-0.4, 0.4, w)
+    rows = np.repeat(np.arange(h), w)
+    cols = np.tile(np.arange(w), h)
+    theta = (2.0 * cols / w - 1.0) * np.pi + col_off[cols] * (2 * np.pi / w)
+    phi = (1.0 - rows / h) * fov - np.radians(24.0) + row_off[rows] * (fov / h)
+    r = rng.uniform(2.0, 80.0, h * w)
+    pts = np.stack([r * np.cos(phi) * np.cos(theta),
+                    -r * np.cos(phi) * np.sin(theta),
+                    r * np.sin(phi)], -1).astype(np.float32)
+
+    for use_native in (True, False):
+        if not use_native:
+            lib_was, att_was = native._lib, native._load_attempted
+            native._lib, native._load_attempted = None, True
+        try:
+            buf = projection.np_encode_range_image(pts, proj, planes=True)
+        finally:
+            if not use_native:
+                native._lib, native._load_attempted = lib_was, att_was
+        assert buf.shape == (h * w + (h + w) // 2, 2)
+        dec, valid = projection.decode_range_image(jnp.asarray(buf), proj)
+        dec, valid = np.asarray(dec), np.asarray(valid)
+        assert valid.sum() > 0.9 * h * w, valid.sum()
+        assert not valid[h * w:].any()  # plane rows decode as invalid
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(pts).query(dec[valid], k=1)
+        assert d.max() < 0.02, (use_native, d.max())
