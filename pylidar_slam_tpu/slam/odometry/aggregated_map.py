@@ -48,6 +48,13 @@ class AggregatedLocalMapConfig(LocalMapConfig):
     window_rows: int = 1  # search window half-extent in rows
     window_cols: int = 2  # search window half-extent in cols (azimuth)
     max_neighbor_dist: float = 1.0  # reject correspondences farther than this (m)
+    # Correspondence-gate annealing: start the first ICP iteration with this
+    # gate and shrink geometrically to `max_neighbor_dist` over the GN
+    # config's `sigma_anneal_iters` (0 disables).  A rotation error theta at
+    # turn onset displaces a point at range r by ~r*theta in 3D; a fixed
+    # tight gate then rejects every far point and the pose correction has to
+    # come from near structure alone -- the high-speed tracking-loss mode.
+    max_neighbor_dist_start: float = 0.0
     use_fused_kernel: bool = False  # opt-in Pallas assoc+GN backend (TPU only)
 
 
@@ -256,6 +263,8 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                             gn_scheme: str,
                             gn_sigma: float,
                             gn_eps: float = 1.0e-4,
+                            gn_sigma_start: float = 0.0,
+                            gn_sigma_anneal_iters: int = 0,
                             upload_quantization: float = 0.0,
                             deskew: bool = False,
                             elastic: bool = False,
@@ -324,8 +333,27 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
             return jnp.where(hit[:, None], jnp.take(q, idx, axis=0),
                              0.0).reshape(h, w, 3)
 
+        def anneal_at(start, end, it):
+            """Geometric interpolation from `start` down to `end` over the
+            first `gn_sigma_anneal_iters` iterations (these scales span
+            orders of magnitude, so geometric -- not linear -- is the
+            natural path).  Restores the capture basin of narrow robust
+            kernels and tight correspondence gates under large
+            initialization error (fast motion, sharp turns) without giving
+            up their converged precision."""
+            if start <= 0.0 or gn_sigma_anneal_iters <= 0 or start == end:
+                return end
+            frac = jnp.clip(it.astype(jnp.float32)
+                            / float(gn_sigma_anneal_iters), 0.0, 1.0)
+            return start * (end / start) ** frac
+
+        max_nd_start = float(getattr(map_cfg, "max_neighbor_dist_start", 0.0)
+                             or 0.0)
+
         def body(carry):
             t, timg0, t_round, _, it, _, _ = carry
+            sigma_it = anneal_at(gn_sigma_start, gn_sigma, it)
+            max_nd_it = anneal_at(max_nd_start, max_nd, it)
             # Re-rasterize target into the anchor grid every `reassoc_every`
             # iterations; in between, transform the round image's VALUES by
             # the accumulated delta (elementwise, exact).
@@ -363,7 +391,8 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                 dx = jnp.where(singular, jnp.zeros_like(dx), dx)
                 ok_count = count.astype(jnp.int32)
             else:
-                ref, nrm, ok, sq_d = window_associate(state, timg, wr, wc, max_nd)
+                ref, nrm, ok, sq_d = window_associate(state, timg, wr, wc,
+                                                      max_nd_it)
                 tp = timg.reshape(-1, 3)
 
                 zero6 = jnp.zeros(6, tp.dtype)
@@ -376,7 +405,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                     from pylidar_slam_tpu.ops import registration
                     res = optimization.point_to_point_residuals(zero6, tp, ref, ok)
                     weights = optimization.robust_weights(
-                        gn_scheme, res, gn_sigma, sq_dists=sq_d, eps=gn_eps)
+                        gn_scheme, res, sigma_it, sq_dists=sq_d, eps=gn_eps)
                     wts = weights * weights * ok.astype(tp.dtype)
                     mat = registration.weighted_procrustes(
                         ref[None], tp[None], wts[None])[0]
@@ -396,7 +425,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                         jac = optimization.point_to_plane_jacobian(zero6, tp,
                                                                    nrm, ok)
                     weights = optimization.robust_weights(
-                        gn_scheme, res, gn_sigma, sq_dists=sq_d, eps=gn_eps)
+                        gn_scheme, res, sigma_it, sq_dists=sq_d, eps=gn_eps)
                     dx, loss, singular = optimization.gauss_newton_step(
                         res, jac, weights)
                 ok_count = jnp.sum(ok).astype(jnp.int32)

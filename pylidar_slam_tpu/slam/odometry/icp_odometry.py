@@ -49,6 +49,15 @@ class GaussNewtonConfig:
     scheme: str = "geman_mcclure"
     sigma: float = 0.3
     eps: float = 1.0e-4
+    # Robust-kernel annealing: start the first ICP iteration at
+    # `sigma_start` and shrink geometrically to `sigma` over
+    # `sigma_anneal_iters` iterations (0/0 disables).  Narrow-basin
+    # kernels (geman_mcclure) lose tracking when the initialization
+    # error exceeds the kernel scale (large inter-frame motion, sharp
+    # turns); a wide kernel on early iterations restores the capture
+    # basin while keeping the narrow kernel's precision at convergence.
+    sigma_start: float = 0.0
+    sigma_anneal_iters: int = 0
 
 
 @dataclass
@@ -324,6 +333,8 @@ class ICPFrameToModel:
                 gn_scheme=gn_cfg.scheme,
                 gn_sigma=float(gn_cfg.sigma),
                 gn_eps=float(gn_cfg.eps),
+                gn_sigma_start=float(gn_cfg.sigma_start or 0.0),
+                gn_sigma_anneal_iters=int(gn_cfg.sigma_anneal_iters or 0),
                 upload_quantization=float(config.upload_quantization or 0.0),
                 deskew=bool(align_cfg.get("deskew", False)),
                 elastic=bool(align_cfg.get("elastic", False)),

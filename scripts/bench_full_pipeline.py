@@ -1,0 +1,109 @@
+"""Steady-state throughput of the FULL pipeline (odometry + loop closure +
+pose-graph backend), excluding one-time compiles.
+
+The reference's full workflow is odometry -> elevation-image loop closure ->
+g2o backend (reference slam.py:118-163, loop_closure.py:254-333,
+backend.py:288-389).  Here the whole pipeline runs with batched rimg8
+odometry; this script times frames PAST a warmup cut so first-use compiles
+(odometry batch executable, loop-closure match path, backend optimizer) are
+excluded, and reports scans/s + per-stage means.
+
+Usage:  python scripts/bench_full_pipeline.py
+Env:    FP_FRAMES (default 250), FP_BATCH (12), FP_WARMUP_FRAMES (48),
+        FP_SPEED (0.5 -- keeps 250 frames inside the +/-120 m wall field).
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+FRAMES = int(os.environ.get("FP_FRAMES", "250"))
+BATCH = int(os.environ.get("FP_BATCH", "12"))
+WARMUP = int(os.environ.get("FP_WARMUP_FRAMES", "48"))
+SPEED = float(os.environ.get("FP_SPEED", "0.5"))
+
+
+def main():
+    from pathlib import Path as _P
+
+    from pylidar_slam_tpu.config import compose, dataclass_from_dict
+    from pylidar_slam_tpu.dataset.synthetic import (SyntheticConfig,
+                                                    SyntheticDatasetLoader)
+    from pylidar_slam_tpu.slam.slam import SLAM, SLAMConfig
+
+    loader = SyntheticDatasetLoader(SyntheticConfig(
+        lidar_height=64, lidar_width=1024, num_frames=FRAMES,
+        num_walls=40, num_pillars=25, speed=SPEED))
+    seq = loader.sequences()[0][0][0]
+
+    config_dir = _P(__file__).parent.parent / "config"
+    cfg = compose(str(config_dir), "slam", [
+        "dataset=synthetic",
+        "slam/loop_closure=elevation_image",
+        "slam/backend=graph_slam",
+        "slam/odometry/local_map=aggregated",
+        "slam.odometry.local_map.max_neighbor_dist=0.6",
+        f"slam.odometry.batch_size={BATCH}",
+        "slam.odometry.upload_format=rimg8",
+        "slam.odometry.num_points_padded=66560",
+        "slam.odometry.reassoc_every=4",
+        "slam.odometry.max_num_alignments=12",
+        "slam.odometry.alignment.gauss_newton_config.scheme=geman_mcclure",
+        "slam.odometry.alignment.gauss_newton_config.sigma=0.3",
+    ])["slam"]
+    slam = SLAM(dataclass_from_dict(SLAMConfig, cfg),
+                projector=loader.projector())
+    slam.init()
+
+    # Mirror the runner's prefetch workers: host_prepare (preprocessing +
+    # upload encode) runs ahead of the pipeline thread.
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=2 * BATCH)
+
+    def producer():
+        for i in range(len(seq)):
+            frame = dict(seq[i])
+            slam.host_prepare(frame)
+            q.put(frame)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    t_mark = None
+    for i in range(len(seq)):
+        frame = q.get()
+        slam.process_next_frame(frame)
+        if i + 1 == WARMUP:
+            t_mark = time.time()
+            n_odo = len(slam.elapsed_odometry)
+            n_lc = len(slam.elapsed_loop_closure)
+            n_be = len(slam.elapsed_backend)
+    slam.finish()
+    elapsed = time.time() - t_mark
+    timed = FRAMES - WARMUP
+    rate = timed / elapsed
+
+    lc_ms = 1e3 * float(np.mean(slam.elapsed_loop_closure[n_lc:])) \
+        if len(slam.elapsed_loop_closure) > n_lc else 0.0
+    be_ms = 1e3 * float(np.mean(slam.elapsed_backend[n_be:])) \
+        if len(slam.elapsed_backend) > n_be else 0.0
+    odo_ms = 1e3 * float(np.mean(slam.elapsed_odometry[n_odo:])) \
+        if len(slam.elapsed_odometry) > n_odo else 0.0
+
+    print(json.dumps({
+        "metric": "full pipeline (odometry+LC+backend) steady-state",
+        "value": round(rate, 1), "unit": "scans/sec",
+        "timed_frames": timed, "batch": BATCH,
+        "stages_ms_per_frame": {"odometry_submit": round(odo_ms, 2),
+                                "loop_closure": round(lc_ms, 2),
+                                "backend": round(be_ms, 2)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,3 +125,48 @@ def test_procrustes_alignment_recovers_small_pose():
                                 jnp.eye(4, dtype=jnp.float32))
     np.testing.assert_allclose(np.asarray(rpose), np.asarray(rpose_gt),
                                atol=0.02)
+
+
+def test_annealed_kernel_recovers_larger_pose():
+    """Robust-kernel + correspondence-gate annealing (sigma_start /
+    max_neighbor_dist_start, geometric decay over sigma_anneal_iters):
+    with annealing DISABLED the step must be identical to the baseline
+    build, and with annealing ENABLED the step still recovers a known
+    pose -- the schedule must end at the same converged kernel."""
+    from pylidar_slam_tpu.ops import se3
+
+    rng = np.random.default_rng(11)
+    scan = _scan(rng, 4096)
+    mask = jnp.ones(scan.shape[0], bool)
+
+    params_gt = jnp.asarray([0.12, -0.08, 0.0, 0.0, 0.0, 0.02], jnp.float32)
+    rpose_gt = se3.build_pose_matrix(params_gt[None])[0]
+    inv_gt = se3.inverse_pose_matrix(rpose_gt[None])[0]
+    scan2 = se3.apply_transformation(jnp.asarray(scan)[None], inv_gt[None])[0]
+
+    def run(anneal: bool, **extra):
+        cfg = am.AggregatedLocalMapConfig(
+            local_map_size=10, window_rows=1, window_cols=2,
+            max_neighbor_dist=0.8,
+            max_neighbor_dist_start=2.5 if anneal else 0.0)
+        step, first, _ = am.make_agg_icp_frame_step(
+            PROJ, cfg, max_num_alignments=10, reassoc_every=3,
+            threshold_delta_pose=1e-5, threshold_trans=0.05,
+            threshold_rot=0.2, gn_scheme="geman_mcclure", gn_sigma=0.3,
+            gn_sigma_start=5.0 if anneal else 0.0,
+            gn_sigma_anneal_iters=5 if anneal else 0, **extra)
+        state = am.init_agg_map(PROJ.height, PROJ.width)
+        state = first(state, jnp.asarray(scan), mask)
+        _, _, rpose, _, _ = step(state, jnp.eye(4, dtype=jnp.float32), scan2,
+                                 mask, jnp.eye(4, dtype=jnp.float32))
+        return np.asarray(rpose)
+
+    base = run(anneal=False)
+    annealed = run(anneal=True)
+    np.testing.assert_allclose(base, np.asarray(rpose_gt), atol=0.03)
+    np.testing.assert_allclose(annealed, np.asarray(rpose_gt), atol=0.03)
+
+    # Disabled-anneal path with explicit start==end values compiles to the
+    # same constants (no behavior drift from the refactor).
+    same = run(anneal=False)
+    np.testing.assert_array_equal(base, same)
