@@ -56,6 +56,8 @@ class GaussNewtonConfig:
     # error exceeds the kernel scale (large inter-frame motion, sharp
     # turns); a wide kernel on early iterations restores the capture
     # basin while keeping the narrow kernel's precision at convergence.
+    # Consumed by the aggregated-map ICP loop (aggregated_map.py);
+    # the projective/kdtree paths use the constant `sigma`.
     sigma_start: float = 0.0
     sigma_anneal_iters: int = 0
 
