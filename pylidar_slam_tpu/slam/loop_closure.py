@@ -166,6 +166,11 @@ class ElevationImageLoopClosure(LoopClosure):
         self.saved_images: List[np.ndarray] = []
         self.saved_clouds: List[np.ndarray] = []  # (padded cloud, mask) pairs
         self._jit_image = None
+        # In-flight candidate matches: (scores_dev, transforms_dev, ids,
+        # frame_id).  The host fetch (26-200 ms through a tunneled chip)
+        # happens at the NEXT submap event or in drain_pending(final), so
+        # matching never blocks the odometry pipeline.
+        self._pending_matches: List[tuple] = []
 
     # -- persistence of submap positions after optimization ------------------
 
@@ -226,11 +231,16 @@ class ElevationImageLoopClosure(LoopClosure):
         return self._jit_image(jnp.asarray(padded), jnp.asarray(mask))
 
     def _match_candidates(self, candidate_ids, image, submap_cloud,
-                          frame_id: int, data_dict: dict):
-        """Matches ALL candidates in one jitted device execution (batched
-        yaw-sweep BEV + ICP refine), then ONE host fetch of
-        (scores, transforms).  The candidate axis is padded to the static
-        `max_num_candidates` so the executable never retraces."""
+                          frame_id: int):
+        """Dispatches ONE jitted device execution matching ALL candidates
+        (batched yaw-sweep BEV + ICP refine; candidate axis padded to the
+        static `max_num_candidates` so the executable never retraces).
+
+        The (scores, transforms) fetch is NOT performed here: the device
+        arrays are queued on `_pending_matches` and materialized by
+        `drain_pending` at the next submap event (or at sequence end), so
+        the 26-200 ms tunneled host fetch never blocks the odometry
+        pipeline between batches."""
         cfg = self.config
         c = int(cfg.max_num_candidates)
         ids = list(candidate_ids)[:c]
@@ -247,22 +257,36 @@ class ElevationImageLoopClosure(LoopClosure):
         scores, transforms = self._match_batch_fn(
             cand_imgs, cand_clouds, cand_masks, image,
             jnp.asarray(sm_cloud, jnp.float32), jnp.asarray(sm_mask))
-        scores = np.asarray(scores)  # one synchronizing fetch
-        transforms = np.asarray(transforms, dtype=np.float64)
+        for arr in (scores, transforms):
+            try:  # enqueue the D2H copy right behind the match computation
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+        self._pending_matches.append((scores, transforms, ids, frame_id))
 
-        for k in range(n_real):
-            cd_frame_id = self.maps_frame_ids[ids[k]]
-            score = float(scores[k])
-            if score < cfg.min_score:
-                if cfg.debug:
-                    logger.info("Loop candidate %d rejected (score %.3f)",
-                                cd_frame_id, score)
-                continue
-            # T maps current-submap coords into candidate-submap coords
-            key = Backend.se3_loop_closure_constraint(cd_frame_id, frame_id)
-            logger.info("[LOOP CLOSURE] constraint between frames %d and %d "
-                        "(score %.3f)", cd_frame_id, frame_id, score)
-            data_dict[key] = (transforms[k], None)
+    def drain_pending(self, data_dict: dict):
+        """Materializes completed candidate matches into loop-closure
+        constraint keys on `data_dict` (consumed by the backend this frame;
+        the referenced frame ids are unchanged, so a drain delayed by one
+        submap interval registers identical constraints)."""
+        cfg = self.config
+        pending, self._pending_matches = self._pending_matches, []
+        for scores_dev, transforms_dev, ids, frame_id in pending:
+            scores = np.asarray(scores_dev)
+            transforms = np.asarray(transforms_dev, dtype=np.float64)
+            for k in range(len(ids)):
+                cd_frame_id = self.maps_frame_ids[ids[k]]
+                score = float(scores[k])
+                if score < cfg.min_score:
+                    if cfg.debug:
+                        logger.info("Loop candidate %d rejected (score %.3f)",
+                                    cd_frame_id, score)
+                    continue
+                # T maps current-submap coords into candidate-submap coords
+                key = Backend.se3_loop_closure_constraint(cd_frame_id, frame_id)
+                logger.info("[LOOP CLOSURE] constraint between frames %d and "
+                            "%d (score %.3f)", cd_frame_id, frame_id, score)
+                data_dict[key] = (transforms[k], None)
 
     def process_next_frame(self, data_dict: dict):
         cfg = self.config
@@ -289,6 +313,11 @@ class ElevationImageLoopClosure(LoopClosure):
             self.current_map_frameids.append(self.current_frame_id)
 
         if len(self.current_map_pcs) >= cfg.local_map_size:
+            # Fetch the PREVIOUS submap's match results first: its device
+            # work finished long ago (a submap interval of odometry batches
+            # ran since), so this materialization is cheap -- and its
+            # constraints enter the backend through THIS frame's data_dict.
+            self.drain_pending(data_dict)
             mid = len(self.current_map_pcs) // 2
             aggregated = np.concatenate(self.current_map_pcs, axis=0)
             mid_pose = self.current_map_poses[mid]
@@ -318,7 +347,7 @@ class ElevationImageLoopClosure(LoopClosure):
                 if len(dists) > 0:
                     order = np.argsort(dists)[:cfg.max_num_candidates]
                     self._match_candidates(cand_idx[order], image, submap_cloud,
-                                           mid_frame_id, data_dict)
+                                           mid_frame_id)
 
             self.maps_absolute_poses = np.concatenate(
                 [self.maps_absolute_poses, mid_pose[None]], axis=0)

@@ -262,6 +262,18 @@ class SLAM:
         if hasattr(self.odometry, "finish"):
             self.odometry.finish()
         self._drain_deferred(final=True)
+        if self.loop_closure is not None and \
+                getattr(self.loop_closure, "_pending_matches", None):
+            # Async candidate matches still in flight at sequence end: fetch
+            # them and register the surviving constraints with the backend.
+            late = {}
+            self.loop_closure.drain_pending(late)
+            if late and self.backend is not None:
+                self.backend.next_frame(late)
+                if self.backend.need_to_update_pose:
+                    self.loop_closure.update_positions(
+                        self.backend.absolute_poses())
+                    self.backend.need_to_update_pose = False
 
     def get_relative_poses(self):
         if self.backend is not None:
