@@ -302,9 +302,15 @@ class ElevationImageLoopClosure(LoopClosure):
             self.current_frame_id += 1
             return data_dict
 
-        pointcloud = np.asarray(data_dict[self.pointcloud_key()])
-        check_tensor(pointcloud, [-1, 3], np.ndarray)
-        pointcloud = self._subsample(pointcloud, cfg.icp_num_points)
+        pre = data_dict.get("lc_pointcloud_sampled")
+        if pre is not None:
+            # Grid-sampled in the prefetch workers (SLAM.host_prepare) so the
+            # per-frame host subsample never runs on the pipeline thread.
+            pointcloud = pre
+        else:
+            pointcloud = np.asarray(data_dict[self.pointcloud_key()])
+            check_tensor(pointcloud, [-1, 3], np.ndarray)
+            pointcloud = self._subsample(pointcloud, cfg.icp_num_points)
 
         if self.current_frame_id % cfg.stride == 0:
             self.current_map_pcs.append(

@@ -159,15 +159,26 @@ class SLAM:
             self.preprocessing.forward(data_dict)
             data_dict["_host_prepared"] = True
         odom = self.odometry
-        if (getattr(odom, "encode_upload", None) is not None
+        raw = data_dict.get(getattr(odom.config, "data_key", None))
+        arr = None
+        if raw is not None and not hasattr(raw, "devices"):
+            a = np.asarray(raw)
+            if a.ndim == 2 and a.shape[1] >= 3:
+                arr = a
+        if (arr is not None
+                and getattr(odom, "encode_upload", None) is not None
                 and int(getattr(odom.config, "batch_size", 1) or 1) > 1
                 and getattr(odom, "_mode", "") in ("aggregated_local_map",
                                                    "kdtree_local_map")):
-            raw = data_dict.get(odom.config.data_key)
-            if raw is not None and not hasattr(raw, "devices"):
-                arr = np.asarray(raw)
-                if arr.ndim == 2 and arr.shape[1] >= 3:
-                    data_dict["encoded_upload"] = odom.encode_upload(arr)
+            data_dict["encoded_upload"] = odom.encode_upload(arr)
+        if arr is not None and self.loop_closure is not None and \
+                hasattr(self.loop_closure, "_subsample"):
+            # Same cloud the odometry hands downstream (raw meters, post
+            # preprocessing); the per-frame grid sample runs here in the
+            # worker instead of on the pipeline thread.
+            data_dict["lc_pointcloud_sampled"] = self.loop_closure._subsample(
+                arr[:, :3].astype(np.float32, copy=False),
+                self.loop_closure.config.icp_num_points)
 
     def process_next_frame(self, data_dict: dict):
         beginning = time.time()
@@ -214,7 +225,12 @@ class SLAM:
             if odometry_pose is not None:
                 data_dict[self.loop_closure.relative_pose_key()] = odometry_pose
             pc_key = self.odometry.pointcloud_key()
-            if pc_key in data_dict:
+            if "lc_pointcloud_sampled" in data_dict:
+                # host_prepare already produced the subsampled cloud; avoid
+                # materializing the (device) odometry cloud just to ignore it.
+                data_dict[self.loop_closure.pointcloud_key()] = \
+                    data_dict["lc_pointcloud_sampled"]
+            elif pc_key in data_dict:
                 value = data_dict[pc_key]
                 if isinstance(value, jnp.ndarray):
                     value = np.asarray(value)
