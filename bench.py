@@ -172,12 +172,17 @@ def main():
     bench_frames = bench_frames[:max(BATCH, len(bench_frames) // BATCH * BATCH)]
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     rates = []
+    phase_stats = []  # per-repeat: where the pipeline thread's time went
     for _ in range(repeats):
         _threading.Thread(target=_prep_worker, args=(bench_frames,),
                           daemon=True).start()
+        base = dict(odom.pipe_stats)
+        q_wait = 0.0
         t0 = time.perf_counter()
         while True:
+            tq = time.perf_counter()
             item = prep_q.get()
+            q_wait += time.perf_counter() - tq
             if item is None:
                 break
             run_frame(*item)
@@ -185,9 +190,23 @@ def main():
         # pipeline defers each batch's compute by one flush), then force a
         # REAL sync: np.asarray of a fresh device result drains the queue
         # (block_until_ready does not synchronize on tunneled platforms).
+        tf = time.perf_counter()
         odom.finish()
         _ = np.asarray(odom.last_rpose_device)
-        rates.append(len(bench_frames) / (time.perf_counter() - t0))
+        t_end = time.perf_counter()
+        n = len(bench_frames)
+        rates.append(n / (t_end - t0))
+        phase_stats.append({
+            "queue_wait_ms_per_frame": round(q_wait / n * 1000, 2),
+            "upload_wait_ms_per_frame": round(
+                (odom.pipe_stats["upload_wait_s"] - base["upload_wait_s"])
+                / n * 1000, 2),
+            "dispatch_ms_per_frame": round(
+                (odom.pipe_stats["dispatch_s"] - base["dispatch_s"])
+                / n * 1000, 2),
+            "final_sync_ms_per_frame": round((t_end - tf) / n * 1000, 2),
+            "total_ms_per_frame": round((t_end - t0) / n * 1000, 2),
+        })
 
     scans_per_sec = max(rates)
 
@@ -244,6 +263,11 @@ def main():
         "rates": [round(r, 2) for r in rates],
         "batch": BATCH,
         "stages": stages,
+        # Pipeline-thread phase breakdown of the BEST repeat: queue_wait =
+        # prep-worker starvation, upload_wait = H2D future not done at flush,
+        # dispatch = jitted-call + bookkeeping cost, the remainder up to
+        # total is untracked per-frame python overhead.
+        "phases": phase_stats[int(np.argmax(rates))] if phase_stats else {},
     }
     print(json.dumps(result))
 

@@ -18,6 +18,7 @@ slam/odometry/icp_odometry.py) re-designed TPU-first:
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -371,6 +372,15 @@ class ICPFrameToModel:
         # is in flight but whose compute has not been dispatched yet.
         self._upload_pool = None
         self._inflight_upload = None
+        # Pose-fetch pool: the (B, 6) params transfer of each flush costs a
+        # full tunnel round-trip (~26 ms) even when the data is long since
+        # computed; a dedicated thread eats that latency off the pipeline
+        # thread and drain_batch_results just collects finished futures.
+        self._fetch_pool = None
+        # Pipeline-phase telemetry (negligible cost: two perf_counter calls
+        # per flush): where the batched pipeline thread actually blocks.
+        self.pipe_stats = {"upload_wait_s": 0.0, "dispatch_s": 0.0,
+                           "flushes": 0}
         self._device_pad_cache: dict = {}
         self._ones_mask_arr: Optional[jnp.ndarray] = None
         # Device-side pose log: one (6,) params array per frame.  Fetched in
@@ -402,6 +412,8 @@ class ICPFrameToModel:
         self._pending_rposes = []
         self._pending_param_fetches = []
         self._inflight_upload = None
+        self.pipe_stats = {"upload_wait_s": 0.0, "dispatch_s": 0.0,
+                           "flushes": 0}
         self._iter = 0
         if int(self.config.batch_size or 1) > 1 and \
                 self._mode in ("aggregated_local_map", "kdtree_local_map"):
@@ -739,23 +751,36 @@ class ICPFrameToModel:
             self.last_rpose_device, pts, msks)
         self._params_log.append(params)
         if self.emit_batch_poses:
-            # Queue the DEVICE array; the host fetch happens one flush later
-            # (drain_batch_results).  The async copy enqueues the D2H right
-            # behind this batch's compute, so the later np.asarray returns
-            # without draining the device queue.
+            # Queue the host FETCH of the params, not the device array: the
+            # np.asarray runs in a fetch thread (its ~26 ms tunnel round-trip
+            # overlaps the next accumulate/compute phase) and
+            # drain_batch_results only collects the finished result a few
+            # flushes later.
             try:
                 params.copy_to_host_async()
             except Exception:
                 pass
-            self._pending_param_fetches.append(params)
+            if self._fetch_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._fetch_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="icp-fetch")
+            self._pending_param_fetches.append(
+                self._fetch_pool.submit(np.asarray, params, np.float64))
 
     def _dispatch_inflight(self):
         """Dispatches the batch whose upload was running in the background."""
         if self._inflight_upload is not None:
             fut = self._inflight_upload
             self._inflight_upload = None
+            t0 = time.perf_counter()
             pts, msks = fut.result()
+            t1 = time.perf_counter()
             self._dispatch_batch(pts, msks)
+            t2 = time.perf_counter()
+            st = self.pipe_stats
+            st["upload_wait_s"] += t1 - t0
+            st["dispatch_s"] += t2 - t1
+            st["flushes"] += 1
 
     def _flush_batch(self):
         """Runs the buffered frames through one batched device execution."""
@@ -794,8 +819,8 @@ class ICPFrameToModel:
         # stay in frame order, and the remainder frames come after every
         # already-flushed batch.
         while self._pending_param_fetches:
-            params = self._pending_param_fetches.pop(0)
-            for p in np.asarray(params, dtype=np.float64):
+            fut = self._pending_param_fetches.pop(0)
+            for p in fut.result():
                 self._pending_rposes.append(_pose_matrix_f64(p))
         entries = [
             (self._device_pad(jnp.asarray(e)), self._ones_mask())
@@ -825,8 +850,8 @@ class ICPFrameToModel:
             self._dispatch_inflight()
         keep_in_flight = 0 if final else 4
         while len(self._pending_param_fetches) > keep_in_flight:
-            params = self._pending_param_fetches.pop(0)
-            for p in np.asarray(params, dtype=np.float64):
+            fut = self._pending_param_fetches.pop(0)
+            for p in fut.result():
                 self._pending_rposes.append(_pose_matrix_f64(p))
         out = self._pending_rposes
         self._pending_rposes = []
