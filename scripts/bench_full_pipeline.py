@@ -95,6 +95,8 @@ def main():
     odo_ms = 1e3 * float(np.mean(slam.elapsed_odometry[n_odo:])) \
         if len(slam.elapsed_odometry) > n_odo else 0.0
 
+    pipe = dict(getattr(slam.odometry, "pipe_stats", {}))
+    n_fl = max(1, int(pipe.get("flushes", 0)))
     print(json.dumps({
         "metric": "full pipeline (odometry+LC+backend) steady-state",
         "value": round(rate, 1), "unit": "scans/sec",
@@ -102,6 +104,13 @@ def main():
         "stages_ms_per_frame": {"odometry_submit": round(odo_ms, 2),
                                 "loop_closure": round(lc_ms, 2),
                                 "backend": round(be_ms, 2)},
+        # Whole-run means (incl. warmup): where the odometry pipeline
+        # thread blocked per flush.
+        "pipeline_ms_per_flush": {
+            "upload_wait": round(1e3 * pipe.get("upload_wait_s", 0.0)
+                                 / n_fl, 2),
+            "dispatch": round(1e3 * pipe.get("dispatch_s", 0.0) / n_fl, 2),
+        },
     }))
 
 

@@ -1,0 +1,87 @@
+"""Dev sweep: accuracy/time of the aggregated-map bench config vs cheaper
+association windows and iteration counts (device-time levers).
+
+Runs the 140-frame fixture sequence (same as record_e2e_ours.py) through
+the batched rimg8 pipeline for each variant and prints tr_err + wall time.
+On CPU the absolute tr_err differs from the TPU (reduction order, see
+docs/benchmark.md); use the RELATIVE trend and confirm winners on device.
+
+Usage: python scripts/dev_sweep_agg.py [cpu]
+Env:   SWEEP_VARIANTS="name:iters:reassoc:wr:wc,..." to override the grid.
+"""
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+if "cpu" in sys.argv[1:]:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from pylidar_slam_tpu.dataset.synthetic import (SyntheticConfig,  # noqa: E402
+                                                SyntheticSequence)
+from pylidar_slam_tpu.eval.eval_odometry import (  # noqa: E402
+    compute_absolute_poses, compute_kitti_metrics)
+from pylidar_slam_tpu.ops.projection import SphericalProjection  # noqa: E402
+from pylidar_slam_tpu.slam.odometry.icp_odometry import (  # noqa: E402
+    ICPFrameToModel, ICPFrameToModelConfig)
+
+SEQ_KW = dict(lidar_height=64, lidar_width=1024, num_frames=140,
+              num_walls=40, num_pillars=25)
+BATCH = int(os.environ.get("SWEEP_BATCH", "12"))
+FORMAT = os.environ.get("SWEEP_FORMAT", "rimg8")
+
+DEFAULT = "base:12:4:1:2,w11:12:4:1:1,w01:12:4:0:1,i10:10:5:1:2," \
+          "i8:8:4:1:2,w11i10:10:5:1:1"
+
+
+def variant_cfg(iters, reassoc, wr, wc):
+    return ICPFrameToModelConfig(
+        max_num_alignments=iters, reassoc_every=reassoc,
+        local_map={"type": "aggregated_local_map", "local_map_size": 20,
+                   "window_rows": wr, "window_cols": wc,
+                   "max_neighbor_dist": 0.6},
+        alignment={"gauss_newton_config": {"scheme": "geman_mcclure",
+                                           "sigma": 0.3, "max_iters": 1}},
+        num_points_padded=66560 if FORMAT == "rimg8" else 65536,
+        data_key="numpy_pc", batch_size=BATCH, upload_format=FORMAT)
+
+
+def main():
+    cfg = SyntheticConfig(**SEQ_KW)
+    seq = SyntheticSequence(cfg, "synth_00", seed=cfg.seed)
+    frames = [np.asarray(seq[i]["numpy_pc"], np.float32)
+              for i in range(cfg.num_frames)]
+    gt = np.stack([np.asarray(seq[i]["absolute_pose_gt"], np.float64)
+                   for i in range(cfg.num_frames)])
+    gt = np.linalg.inv(gt[0]) @ gt
+
+    grid = os.environ.get("SWEEP_VARIANTS", DEFAULT)
+    for spec in grid.split(","):
+        name, iters, reassoc, wr, wc = spec.strip().split(":")
+        odom = ICPFrameToModel(
+            variant_cfg(int(iters), int(reassoc), int(wr), int(wc)),
+            projector=SphericalProjection(64, 1024, 3.0, -24.0))
+        odom.init()
+        last = np.eye(4, dtype=np.float32)
+        t0 = time.time()
+        for pc in frames:
+            d = {"numpy_pc": pc, "init_rpose": last,
+                 "encoded_upload": odom.encode_upload(pc)}
+            odom.process_next_frame(d)
+            last = d.get("odometry_pose", last)
+        odom.finish()
+        traj = compute_absolute_poses(odom.get_relative_poses())
+        tr_err, rot_err, _ = compute_kitti_metrics(traj, gt)
+        print(f"{name:10s} iters={iters} reassoc={reassoc} win={wr}x{wc}: "
+              f"tr_err={100 * tr_err:.4f}% rot_err={rot_err:.4g} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
