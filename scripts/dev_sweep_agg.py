@@ -31,8 +31,11 @@ from pylidar_slam_tpu.ops.projection import SphericalProjection  # noqa: E402
 from pylidar_slam_tpu.slam.odometry.icp_odometry import (  # noqa: E402
     ICPFrameToModel, ICPFrameToModelConfig)
 
-SEQ_KW = dict(lidar_height=64, lidar_width=1024, num_frames=140,
+SEQ_KW = dict(lidar_height=64, lidar_width=1024,
+              num_frames=int(os.environ.get("SWEEP_FRAMES", "140")),
               num_walls=40, num_pillars=25)
+if os.environ.get("SWEEP_SPEED"):
+    SEQ_KW["speed"] = float(os.environ["SWEEP_SPEED"])
 BATCH = int(os.environ.get("SWEEP_BATCH", "12"))
 FORMAT = os.environ.get("SWEEP_FORMAT", "rimg8")
 
