@@ -265,6 +265,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                             gn_eps: float = 1.0e-4,
                             gn_sigma_start: float = 0.0,
                             gn_sigma_anneal_iters: int = 0,
+                            reassoc_motion_m: float = 0.0,
                             upload_quantization: float = 0.0,
                             deskew: bool = False,
                             elastic: bool = False,
@@ -358,6 +359,18 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
             # iterations; in between, transform the round image's VALUES by
             # the accumulated delta (elementwise, exact).
             do_reassoc = (it > 0) & ((it % reassoc_every) == 0)
+            if reassoc_motion_m > 0.0:
+                # Motion gate: grid assignments go stale with the pose, not
+                # with the iteration count -- re-rasterize when the delta
+                # since the last association exceeds the threshold
+                # (translation plus rotation at a 15 m lever arm;
+                # ||R - I||_F ~= sqrt(2) * angle for small angles).
+                d_pre = t @ se3.inverse_pose_matrix(t_round[None])[0]
+                motion = jnp.linalg.norm(d_pre[:3, 3]) + \
+                    (15.0 / 1.4142135) * jnp.linalg.norm(
+                        d_pre[:3, :3] - jnp.eye(3, dtype=t.dtype))
+                do_reassoc = do_reassoc | \
+                    ((it > 0) & (motion > reassoc_motion_m))
             timg0, t_round = jax.lax.cond(
                 do_reassoc,
                 lambda _: (rasterize_target(t), t),

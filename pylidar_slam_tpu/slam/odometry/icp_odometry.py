@@ -97,6 +97,14 @@ class ICPFrameToModelConfig(OdometryConfig):
     num_points_padded: int = 131072
     # Aggregated-map mode: re-rasterize the target every N ICP iterations.
     reassoc_every: int = 3
+    # Motion-gated reassociation (aggregated map): ADDITIONALLY re-rasterize
+    # whenever the pose has moved more than this many meters (translation +
+    # rotation at a 15 m lever arm) since the last association.  Lets
+    # reassoc_every stretch to the iteration count at cruise (holding
+    # correspondences measures MORE accurate on the fixture) while staying
+    # robust under large per-frame motion, where staleness is what hurts.
+    # 0 disables the gate (periodic-only, the historical behavior).
+    reassoc_motion_m: float = 0.0
     # Host->device upload quantization step in meters (0 disables -- the
     # default: int16 quantization measurably costs ~0.3pt tr_err on synthetic
     # despite being below sensor noise; enable for upload-bandwidth-bound
@@ -330,6 +338,8 @@ class ICPFrameToModel:
                 map_cfg=agg_cfg,
                 max_num_alignments=int(config.max_num_alignments),
                 reassoc_every=int(getattr(config, "reassoc_every", 3) or 3),
+                reassoc_motion_m=float(
+                    getattr(config, "reassoc_motion_m", 0.0) or 0.0),
                 threshold_delta_pose=float(config.threshold_delta_pose),
                 threshold_trans=float(config.threshold_trans),
                 threshold_rot=float(config.threshold_rot),

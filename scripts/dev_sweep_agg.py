@@ -43,9 +43,10 @@ DEFAULT = "base:12:4:1:2,w11:12:4:1:1,w01:12:4:0:1,i10:10:5:1:2," \
           "i8:8:4:1:2,w11i10:10:5:1:1"
 
 
-def variant_cfg(iters, reassoc, wr, wc):
+def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
     return ICPFrameToModelConfig(
         max_num_alignments=iters, reassoc_every=reassoc,
+        reassoc_motion_m=motion,
         local_map={"type": "aggregated_local_map", "local_map_size": 20,
                    "window_rows": wr, "window_cols": wc,
                    "max_neighbor_dist": 0.6},
@@ -66,9 +67,11 @@ def main():
 
     grid = os.environ.get("SWEEP_VARIANTS", DEFAULT)
     for spec in grid.split(","):
-        name, iters, reassoc, wr, wc = spec.strip().split(":")
+        parts = spec.strip().split(":")
+        name, iters, reassoc, wr, wc = parts[:5]
+        motion = float(parts[5]) if len(parts) > 5 else 0.0
         odom = ICPFrameToModel(
-            variant_cfg(int(iters), int(reassoc), int(wr), int(wc)),
+            variant_cfg(int(iters), int(reassoc), int(wr), int(wc), motion),
             projector=SphericalProjection(64, 1024, 3.0, -24.0))
         odom.init()
         last = np.eye(4, dtype=np.float32)

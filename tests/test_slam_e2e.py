@@ -42,6 +42,26 @@ def test_aggregated_odometry_tracks_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_motion_gated_reassociation_tracks_synthetic(tmp_path):
+    # Motion-gated reassociation (reassoc_motion_m): periodic reassoc off
+    # (reassoc_every = iteration count), the gate alone must keep tracking.
+    runner = _run(tmp_path, ["slam/odometry/local_map=aggregated",
+                             "slam.odometry.max_num_alignments=8",
+                             "slam.odometry.reassoc_every=8",
+                             "slam.odometry.reassoc_motion_m=0.2"])
+    loader = runner.dataset_loader
+    rel_gt = loader.get_ground_truth("synth_00")[:14]
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "run" / "synth_00.poses.txt", sep=",")
+    absolute = np.concatenate(
+        [df.values.reshape(-1, 3, 4),
+         np.tile(np.array([[[0, 0, 0, 1.0]]]), (len(df), 1, 1))], axis=1)
+    rel_pred = ev.compute_relative_poses(absolute)
+    ate, _ = ev.compute_ate(rel_pred, rel_gt)
+    assert ate < 0.05, f"motion-gated odometry ATE too high: {ate}"
+
+
+@pytest.mark.slow
 def test_projective_odometry_tracks_synthetic(tmp_path):
     runner = _run(tmp_path, ["slam/odometry/local_map=projective",
                              "slam.odometry.local_map.local_map_size=10",
