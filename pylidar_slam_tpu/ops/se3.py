@@ -60,6 +60,15 @@ def normalize_pose_matrix(matrices: jnp.ndarray) -> jnp.ndarray:
     return build_pose_matrix(params)
 
 
+def pose_motion_magnitude(delta: jnp.ndarray, lever_m: float = 15.0):
+    """Scalar motion of a (4, 4) relative pose: translation norm plus the
+    rotation expressed as point displacement at a `lever_m` arm
+    (||R - I||_F ~= sqrt(2) * angle for small angles).  Used by the
+    motion-gated reassociation in the ICP local maps."""
+    return jnp.linalg.norm(delta[:3, 3]) + (lever_m / 1.4142135) * \
+        jnp.linalg.norm(delta[:3, :3] - jnp.eye(3, dtype=delta.dtype))
+
+
 # ----------------------------------------------------------------------------
 # Quaternion helpers (used for slerp-based motion de-skew on device)
 # ----------------------------------------------------------------------------

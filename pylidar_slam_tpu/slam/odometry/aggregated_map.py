@@ -362,13 +362,9 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
             if reassoc_motion_m > 0.0:
                 # Motion gate: grid assignments go stale with the pose, not
                 # with the iteration count -- re-rasterize when the delta
-                # since the last association exceeds the threshold
-                # (translation plus rotation at a 15 m lever arm;
-                # ||R - I||_F ~= sqrt(2) * angle for small angles).
+                # since the last association exceeds the threshold.
                 d_pre = t @ se3.inverse_pose_matrix(t_round[None])[0]
-                motion = jnp.linalg.norm(d_pre[:3, 3]) + \
-                    (15.0 / 1.4142135) * jnp.linalg.norm(
-                        d_pre[:3, :3] - jnp.eye(3, dtype=t.dtype))
+                motion = se3.pose_motion_magnitude(d_pre)
                 do_reassoc = do_reassoc | \
                     ((it > 0) & (motion > reassoc_motion_m))
             timg0, t_round = jax.lax.cond(

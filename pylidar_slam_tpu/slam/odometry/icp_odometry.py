@@ -318,6 +318,8 @@ class ICPFrameToModel:
                     proj=projector,
                     map_cfg=surfel_cfg,
                     reassoc_every=int(getattr(config, "reassoc_every", 1) or 1),
+                    reassoc_motion_m=float(
+                        getattr(config, "reassoc_motion_m", 0.0) or 0.0),
                     max_num_alignments=int(config.max_num_alignments),
                     threshold_delta_pose=float(config.threshold_delta_pose),
                     threshold_trans=float(config.threshold_trans),

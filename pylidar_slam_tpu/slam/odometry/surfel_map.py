@@ -103,6 +103,7 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
                                gn_eps: float = 1.0e-4,
                                upload_quantization: float = 0.0,
                                reassoc_every: int = 1,
+                               reassoc_motion_m: float = 0.0,
                                shard_mesh=None):
     """Builds the jitted per-frame step for the surfel-ring odometry.
 
@@ -142,7 +143,7 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
                        t_valid: jnp.ndarray, t_init: jnp.ndarray,
                        axis_name=None):
         def body(carry):
-            t, ref, nrm, _, it, _, _ = carry
+            t, ref, nrm, t_assoc, _, it, _, _ = carry
             moved = se3.apply_transformation(targets[None], t[None])[0]
 
             # Exact-NN re-search every `reassoc_every` iterations; in
@@ -152,16 +153,24 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
             def research(_):
                 idx, sq = nn_argmin(moved, state.points, state.valid)
                 return (jnp.take(state.points, idx, axis=0),
-                        jnp.take(state.normals, idx, axis=0), sq)
+                        jnp.take(state.normals, idx, axis=0), sq, t)
 
             def reuse(_):
-                return ref, nrm, jnp.sum((moved - ref) ** 2, axis=-1)
+                return ref, nrm, jnp.sum((moved - ref) ** 2, axis=-1), t_assoc
 
-            if reassoc_every <= 1:
-                ref, nrm, sq_d = research(None)
+            if reassoc_every <= 1 and reassoc_motion_m <= 0.0:
+                ref, nrm, sq_d, t_assoc = research(None)
             else:
-                ref, nrm, sq_d = jax.lax.cond(
-                    (it % reassoc_every) == 0, research, reuse, None)
+                do_research = (it % reassoc_every) == 0
+                if reassoc_motion_m > 0.0:
+                    # Motion gate: correspondences go stale with the pose --
+                    # re-search when the delta since the last NN pass
+                    # exceeds the threshold (see aggregated_map).
+                    d_pre = t @ se3.inverse_pose_matrix(t_assoc[None])[0]
+                    do_research = do_research | \
+                        (se3.pose_motion_magnitude(d_pre) > reassoc_motion_m)
+                ref, nrm, sq_d, t_assoc = jax.lax.cond(
+                    do_research, research, reuse, None)
             ok = t_valid & (sq_d < max_nd * max_nd) & \
                 (jnp.max(jnp.abs(nrm), axis=-1) > 0)
 
@@ -185,20 +194,23 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
             if axis_name is not None:
                 matches = jax.lax.psum(matches, axis_name)
             t_out = jnp.where(apply, new_t, t)
-            return (t_out, ref, nrm, delta_norm, it + 1, loss, matches)
+            return (t_out, ref, nrm, t_assoc, delta_norm, it + 1, loss,
+                    matches)
 
         def cond(carry):
-            _, _, _, delta_norm, it, _, _ = carry
+            _, _, _, _, delta_norm, it, _, _ = carry
             return (it < max_num_alignments) & (delta_norm >= threshold_delta_pose)
 
         n_loc = targets.shape[0]
         init = (t_init,
                 jnp.zeros((n_loc, 3), targets.dtype),
                 jnp.zeros((n_loc, 3), targets.dtype),
+                t_init,
                 jnp.array(jnp.inf, targets.dtype),
                 jnp.array(0, jnp.int32), jnp.array(0.0, targets.dtype),
                 jnp.array(0, jnp.int32))
-        t, _, _, _, it, loss, matches = jax.lax.while_loop(cond, body, init)
+        t, _, _, _, _, it, loss, matches = \
+            jax.lax.while_loop(cond, body, init)
         return t, it, loss, matches
 
     if shard_mesh is None:
