@@ -85,6 +85,9 @@ def main():
     icp_cfg = ICPFrameToModelConfig(
         max_num_alignments=int(os.environ.get("BENCH_ITERS", "12")),
         reassoc_every=int(os.environ.get("BENCH_REASSOC", "4")),
+        # Motion-gated reassociation (see docs/benchmark.md): e.g.
+        # BENCH_ITERS=8 BENCH_REASSOC=8 BENCH_REASSOC_MOTION=0.2
+        reassoc_motion_m=float(os.environ.get("BENCH_REASSOC_MOTION", "0.0")),
         local_map={"type": "aggregated_local_map", "local_map_size": 20,
                    "window_rows": 1, "window_cols": 2,
                    "max_neighbor_dist": 0.6},
