@@ -47,6 +47,13 @@ class SyntheticConfig(DatasetConfig):
     # phi_0=pi, clockwise).  GT poses stay the scan-START poses.
     skew: bool = False
     turn_rate: float = 0.03  # max |yaw rate| rad/frame of the trajectory
+    # Per-beam angular de-calibration (degrees, 1-sigma, fixed per sequence):
+    # real spinning sensors' beams do not land on exact pixel centers (KITTI
+    # HDL-64E needs a 0.205-degree vertical correction, see
+    # kitti_dataset.correct_scan).  Breaks the ideal beam/grid alignment, so
+    # it exercises the z-buffer collision and sub-pixel codec paths the
+    # regular grid cannot.
+    beam_jitter_deg: float = 0.0
     train_sequences: list = field(default_factory=lambda: ["synth_00"])
     eval_sequences: list = field(default_factory=lambda: ["synth_00"])
     test_sequences: list = field(default_factory=lambda: ["synth_00"])
@@ -174,6 +181,11 @@ class SyntheticSequence:
         phi = (1.0 - rows) * (abs(fov_down) + abs(fov_up)) - abs(fov_down)
         theta = -(2.0 * cols - 1.0) * math.pi
         phi_g, theta_g = np.meshgrid(phi, theta, indexing="ij")
+        if cfg.beam_jitter_deg:
+            jit_rng = np.random.default_rng(seed + 7)
+            j = math.radians(float(cfg.beam_jitter_deg))
+            phi_g = phi_g + j * jit_rng.standard_normal(phi_g.shape)
+            theta_g = theta_g + j * jit_rng.standard_normal(theta_g.shape)
         self.dirs = np.stack([
             np.cos(phi_g) * np.cos(theta_g),
             np.cos(phi_g) * np.sin(theta_g),

@@ -36,6 +36,8 @@ SEQ_KW = dict(lidar_height=64, lidar_width=1024,
               num_walls=40, num_pillars=25)
 if os.environ.get("SWEEP_SPEED"):
     SEQ_KW["speed"] = float(os.environ["SWEEP_SPEED"])
+if os.environ.get("SWEEP_JITTER"):
+    SEQ_KW["beam_jitter_deg"] = float(os.environ["SWEEP_JITTER"])
 BATCH = int(os.environ.get("SWEEP_BATCH", "12"))
 FORMAT = os.environ.get("SWEEP_FORMAT", "rimg8")
 

@@ -62,6 +62,30 @@ def test_motion_gated_reassociation_tracks_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_rimg16_tracks_jittered_beams(tmp_path):
+    # Real sensors' beams do not land on pixel centers; the rimg16 upload
+    # codec (per-pixel 8+8-bit sub-pixel offsets) must keep tracking under
+    # per-beam angular de-calibration, where the separable-plane rimg8
+    # format measurably degrades (docs/benchmark.md round-3 finding).
+    runner = _run(tmp_path, ["slam/odometry/local_map=aggregated",
+                             "dataset.beam_jitter_deg=0.1",
+                             "slam.odometry.upload_format=rimg16",
+                             "slam.odometry.num_points_padded=66560",
+                             "slam.odometry.batch_size=7",
+                             "slam.odometry.max_num_alignments=9"])
+    loader = runner.dataset_loader
+    rel_gt = loader.get_ground_truth("synth_00")[:14]
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "run" / "synth_00.poses.txt", sep=",")
+    absolute = np.concatenate(
+        [df.values.reshape(-1, 3, 4),
+         np.tile(np.array([[[0, 0, 0, 1.0]]]), (len(df), 1, 1))], axis=1)
+    rel_pred = ev.compute_relative_poses(absolute)
+    ate, _ = ev.compute_ate(rel_pred, rel_gt)
+    assert ate < 0.05, f"rimg16 jittered-beam ATE too high: {ate}"
+
+
+@pytest.mark.slow
 def test_projective_odometry_tracks_synthetic(tmp_path):
     runner = _run(tmp_path, ["slam/odometry/local_map=projective",
                              "slam.odometry.local_map.local_map_size=10",
