@@ -1,0 +1,32 @@
+#!/bin/bash
+# One-shot device experiment queue for round 3 (run when the tunnel is up).
+# Results land in /tmp/tpu_roundup/; each step is independently timed out so
+# a tunnel stall cannot eat the whole window.
+set -u
+OUT=/tmp/tpu_roundup
+mkdir -p $OUT
+cd "$(dirname "$0")/.."
+
+echo "=== 1. bench default (12/4 rimg8) ===" | tee $OUT/log
+timeout 1200 python bench.py > $OUT/bench_default.json 2> $OUT/bench_default.err
+tail -1 $OUT/bench_default.json | tee -a $OUT/log
+
+echo "=== 2. bench motion-gate config (8 iters, gate 0.2) ===" | tee -a $OUT/log
+BENCH_ITERS=8 BENCH_REASSOC=8 BENCH_REASSOC_MOTION=0.2 \
+  timeout 1200 python bench.py > $OUT/bench_gate.json 2> $OUT/bench_gate.err
+tail -1 $OUT/bench_gate.json | tee -a $OUT/log
+
+echo "=== 3. device accuracy A/B (base vs i8mg20) ===" | tee -a $OUT/log
+SWEEP_VARIANTS="base:12:4:1:2,i8mg20:8:8:1:2:0.20" \
+  timeout 1800 python scripts/dev_sweep_agg.py > $OUT/sweep_ab.txt 2>&1
+grep tr_err $OUT/sweep_ab.txt | tee -a $OUT/log
+
+echo "=== 4. full pipeline steady state ===" | tee -a $OUT/log
+timeout 1800 python scripts/bench_full_pipeline.py > $OUT/full_pipeline.json 2> $OUT/full_pipeline.err
+tail -1 $OUT/full_pipeline.json | tee -a $OUT/log
+
+echo "=== 5. device step decomposition ===" | tee -a $OUT/log
+timeout 1200 python scripts/dev_profile_iters.py > $OUT/profile_iters.txt 2>&1
+tail -20 $OUT/profile_iters.txt | tee -a $OUT/log
+
+echo "=== DONE ===" | tee -a $OUT/log
