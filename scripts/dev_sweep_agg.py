@@ -51,9 +51,14 @@ def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
         reassoc_motion_m=motion,
         local_map={"type": "aggregated_local_map", "local_map_size": 20,
                    "window_rows": wr, "window_cols": wc,
-                   "max_neighbor_dist": 0.6},
-        alignment={"gauss_newton_config": {"scheme": "geman_mcclure",
-                                           "sigma": 0.3, "max_iters": 1}},
+                   "max_neighbor_dist": 0.6,
+                   "max_neighbor_dist_start":
+                       float(os.environ.get("SWEEP_ND_START", "0.0"))},
+        alignment={"gauss_newton_config": {
+            "scheme": "geman_mcclure", "sigma": 0.3, "max_iters": 1,
+            "sigma_start": float(os.environ.get("SWEEP_SIGMA_START", "0.0")),
+            "sigma_anneal_iters":
+                int(os.environ.get("SWEEP_ANNEAL_ITERS", "0"))}},
         num_points_padded=66560 if FORMAT == "rimg8" else 65536,
         data_key="numpy_pc", batch_size=BATCH, upload_format=FORMAT)
 
