@@ -510,23 +510,26 @@ class ICPFrameToModel:
         bytes (costs ~0.25pt tr_err on noise-free synthetic -- default off).
         """
         cap = self.config.num_points_padded
-        pts = arr[:, :3].astype(np.float32)
-        nan_rows = np.isnan(pts).any(axis=1)
-        if nan_rows.any():
-            pts = pts[~nan_rows]
         fmt = str(self.config.upload_format or "f32")
         if fmt in ("rimg", "rimg16", "rimg8"):
             # Fixed-shape range image: the z-buffer IS the capacity bound
-            # (1 point/pixel), so no overflow drop is ever needed.
+            # (1 point/pixel), so no overflow drop is ever needed.  No NaN
+            # pre-scrub either: both the native encoder and the numpy
+            # fallback skip non-finite points themselves (saves ~1.4 ms of
+            # the ~2.8 ms/frame host encode).
             h, w = self.projector.height, self.projector.width
             need = h * w + ((h + w + 1) // 2 if fmt == "rimg8" else 0)
             assert_debug(cap >= need,
                          f"{fmt} upload needs num_points_padded >= {need} "
                          f"(got {cap})")
             from pylidar_slam_tpu.ops import projection as proj_ops
-            return proj_ops.np_encode_range_image(pts, self.projector,
+            return proj_ops.np_encode_range_image(arr[:, :3], self.projector,
                                                   sub16=(fmt == "rimg16"),
                                                   planes=(fmt == "rimg8"))
+        pts = arr[:, :3].astype(np.float32)
+        nan_rows = np.isnan(pts).any(axis=1)
+        if nan_rows.any():
+            pts = pts[~nan_rows]
         if pts.shape[0] > cap:
             # Spatially uniform overflow drop (stride over scan order ==
             # azimuth-uniform).  Plain head-truncation would keep only the
