@@ -242,6 +242,38 @@ def test_range_image_upload_roundtrip(sub16):
     assert (np.floor(np.asarray(cols) + 0.53) % 1024 == pix % 1024).all()
 
 
+def test_range_image_encode_skips_nan_rows():
+    """Uploads must not require a host-side NaN pre-scrub: both encoder
+    paths skip non-finite points themselves (the scrub used to double the
+    per-frame host encode cost)."""
+    from pylidar_slam_tpu.utils import native
+    rng = np.random.default_rng(11)
+    proj = projection.SphericalProjection(64, 1024, 3.0, -24.0)
+    n = 20000
+    theta = rng.uniform(-np.pi, np.pi, n)
+    phi = rng.uniform(np.radians(-23.9), np.radians(2.9), n)
+    r = rng.uniform(2.0, 80.0, n)
+    pts = np.stack([r * np.cos(phi) * np.cos(theta),
+                    -r * np.cos(phi) * np.sin(theta),
+                    r * np.sin(phi)], -1).astype(np.float32)
+    dirty = pts.copy()
+    dirty[::53] = np.nan
+    clean = dirty[~np.isnan(dirty).any(axis=1)]
+    for planes in (False, True):
+        a = projection.np_encode_range_image(dirty, proj, planes=planes)
+        b = projection.np_encode_range_image(clean, proj, planes=planes)
+        assert np.array_equal(a, b)
+        # numpy fallback path too
+        lib_was, att_was = native._lib, native._load_attempted
+        native._lib, native._load_attempted = None, True
+        try:
+            c = projection.np_encode_range_image(dirty, proj, planes=planes)
+            d = projection.np_encode_range_image(clean, proj, planes=planes)
+        finally:
+            native._lib, native._load_attempted = lib_was, att_was
+        assert np.array_equal(c, d)
+
+
 def test_range_image_planes_roundtrip():
     """rimg8 (2 B/pixel + angular plane tail): on a (row, col)-separable
     firing pattern -- what a spinning LiDAR produces -- the per-row/per-col
