@@ -83,11 +83,16 @@ def main():
     # every 4 iterations (measured BOTH faster and more accurate than every
     # 2 -- round-2 sweep).
     icp_cfg = ICPFrameToModelConfig(
-        max_num_alignments=int(os.environ.get("BENCH_ITERS", "12")),
-        reassoc_every=int(os.environ.get("BENCH_REASSOC", "4")),
-        # Motion-gated reassociation (see docs/benchmark.md): e.g.
-        # BENCH_ITERS=8 BENCH_REASSOC=8 BENCH_REASSOC_MOTION=0.2
-        reassoc_motion_m=float(os.environ.get("BENCH_REASSOC_MOTION", "0.0")),
+        # Motion-gated schedule (docs/benchmark.md round-3 sweep): 8 GN
+        # iterations, periodic reassociation off, re-rasterize when the pose
+        # has moved > 0.2 m since the last association.  Dominates the old
+        # 12-iteration/reassoc-4 schedule on BOTH accuracy axes (0.115% vs
+        # 0.146% at cruise, 1.40% vs 1.51% at speed 2.0) at roughly half the
+        # raster work.  BENCH_ITERS=12 BENCH_REASSOC=4 BENCH_REASSOC_MOTION=0
+        # reverts to the round-2 schedule.
+        max_num_alignments=int(os.environ.get("BENCH_ITERS", "8")),
+        reassoc_every=int(os.environ.get("BENCH_REASSOC", "8")),
+        reassoc_motion_m=float(os.environ.get("BENCH_REASSOC_MOTION", "0.2")),
         local_map={"type": "aggregated_local_map", "local_map_size": 20,
                    "window_rows": 1, "window_cols": 2,
                    "max_neighbor_dist": 0.6},

@@ -7,13 +7,13 @@ OUT=/tmp/tpu_roundup
 mkdir -p $OUT
 cd "$(dirname "$0")/.."
 
-echo "=== 1. bench default (12/4 rimg8) ===" | tee $OUT/log
-timeout 1200 python bench.py > $OUT/bench_default.json 2> $OUT/bench_default.err
-tail -1 $OUT/bench_default.json | tee -a $OUT/log
+echo "=== 1. bench old schedule (12/4, gate off) ===" | tee $OUT/log
+BENCH_ITERS=12 BENCH_REASSOC=4 BENCH_REASSOC_MOTION=0 \
+  timeout 1200 python bench.py > $OUT/bench_old.json 2> $OUT/bench_old.err
+tail -1 $OUT/bench_old.json | tee -a $OUT/log
 
-echo "=== 2. bench motion-gate config (8 iters, gate 0.2) ===" | tee -a $OUT/log
-BENCH_ITERS=8 BENCH_REASSOC=8 BENCH_REASSOC_MOTION=0.2 \
-  timeout 1200 python bench.py > $OUT/bench_gate.json 2> $OUT/bench_gate.err
+echo "=== 2. bench default (8 iters, motion gate 0.2) ===" | tee -a $OUT/log
+timeout 1200 python bench.py > $OUT/bench_gate.json 2> $OUT/bench_gate.err
 tail -1 $OUT/bench_gate.json | tee -a $OUT/log
 
 echo "=== 3. device accuracy A/B (base vs i8mg20) ===" | tee -a $OUT/log
