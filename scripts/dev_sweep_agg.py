@@ -46,16 +46,25 @@ DEFAULT = "base:12:4:1:2,w11:12:4:1:1,w01:12:4:0:1,i10:10:5:1:2," \
 
 
 def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
+    if os.environ.get("SWEEP_MAP", "aggregated") == "kdtree":
+        # Surfel champion settings (docs/benchmark.md); wr/wc unused.
+        local_map = {"type": "kdtree_local_map", "local_map_size": 30,
+                     "points_per_frame": 4096, "sample_voxel_size": 0.3,
+                     "levenberg_damping": 0.0}
+        scheme, sigma = "neighborhood", 0.2
+    else:
+        local_map = {"type": "aggregated_local_map", "local_map_size": 20,
+                     "window_rows": wr, "window_cols": wc,
+                     "max_neighbor_dist": 0.6,
+                     "max_neighbor_dist_start":
+                         float(os.environ.get("SWEEP_ND_START", "0.0"))}
+        scheme, sigma = "geman_mcclure", 0.3
     return ICPFrameToModelConfig(
         max_num_alignments=iters, reassoc_every=reassoc,
         reassoc_motion_m=motion,
-        local_map={"type": "aggregated_local_map", "local_map_size": 20,
-                   "window_rows": wr, "window_cols": wc,
-                   "max_neighbor_dist": 0.6,
-                   "max_neighbor_dist_start":
-                       float(os.environ.get("SWEEP_ND_START", "0.0"))},
+        local_map=local_map,
         alignment={"gauss_newton_config": {
-            "scheme": "geman_mcclure", "sigma": 0.3, "max_iters": 1,
+            "scheme": scheme, "sigma": sigma, "max_iters": 1,
             "sigma_start": float(os.environ.get("SWEEP_SIGMA_START", "0.0")),
             "sigma_anneal_iters":
                 int(os.environ.get("SWEEP_ANNEAL_ITERS", "0"))}},
@@ -91,8 +100,12 @@ def main():
         odom.finish()
         traj = compute_absolute_poses(odom.get_relative_poses())
         tr_err, rot_err, _ = compute_kitti_metrics(traj, gt)
+        ate = float(np.linalg.norm(traj[:, :3, 3] - gt[:, :3, 3],
+                                   axis=1).mean())
+        tr = f"{100 * tr_err:.4f}%" if tr_err is not None else \
+            "n/a (sequence < 100 m)"
         print(f"{name:10s} iters={iters} reassoc={reassoc} win={wr}x{wc}: "
-              f"tr_err={100 * tr_err:.4f}% rot_err={rot_err:.4g} "
+              f"tr_err={tr} rot_err={rot_err} ate={ate:.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
 

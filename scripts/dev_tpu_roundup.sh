@@ -29,4 +29,10 @@ echo "=== 5. device step decomposition ===" | tee -a $OUT/log
 timeout 1200 python scripts/dev_profile_iters.py > $OUT/profile_iters.txt 2>&1
 tail -20 $OUT/profile_iters.txt | tee -a $OUT/log
 
+echo "=== 6. surfel gate A/B (reassoc 4 vs motion gate) ===" | tee -a $OUT/log
+SWEEP_MAP=kdtree SWEEP_BATCH=8 \
+  SWEEP_VARIANTS="r4:20:4:0:0,gate:20:20:0:0:0.20" \
+  timeout 2400 python scripts/dev_sweep_agg.py > $OUT/surfel_ab.txt 2>&1
+grep tr_err $OUT/surfel_ab.txt | tee -a $OUT/log
+
 echo "=== DONE ===" | tee -a $OUT/log
