@@ -63,6 +63,25 @@ def test_se3_inverse(rng):
     np.testing.assert_allclose(prod, np.tile(np.eye(4), (16, 1, 1)), atol=1e-5)
 
 
+def test_pose_motion_magnitude():
+    # Translation-only: the translation norm exactly.
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = [3.0, 0.0, 4.0]
+    np.testing.assert_allclose(
+        float(se3.pose_motion_magnitude(jnp.asarray(t))), 5.0, atol=1e-5)
+    # Rotation-only: ||R - I||_F ~= sqrt(2) * angle, so the measure is
+    # angle * lever for small angles.
+    ang = 0.01
+    r = np.eye(4, dtype=np.float32)
+    r[:3, :3] = np.array([[np.cos(ang), -np.sin(ang), 0],
+                          [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    np.testing.assert_allclose(
+        float(se3.pose_motion_magnitude(jnp.asarray(r), lever_m=15.0)),
+        15.0 * ang, rtol=1e-3)
+    # Identity: zero.
+    assert float(se3.pose_motion_magnitude(jnp.eye(4))) == 0.0
+
+
 def test_apply_transformation(rng):
     params = jnp.asarray(rng.uniform(-1.0, 1.0, (2, 6)), dtype=jnp.float32)
     points = jnp.asarray(rng.normal(size=(2, 50, 3)), dtype=jnp.float32)
