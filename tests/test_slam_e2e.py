@@ -147,6 +147,28 @@ def test_surfel_kdtree_odometry_tracks_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_surfel_motion_gated_reassociation_tracks(tmp_path):
+    # Surfel map with periodic NN re-search off: the motion gate alone must
+    # keep the exact-NN correspondences fresh enough to track.
+    runner = _run(tmp_path, [
+        "slam/odometry/local_map=kdtree",
+        "slam.odometry.local_map.points_per_frame=1024",
+        "slam.odometry.local_map.target_samples=8192",
+        "slam.odometry.max_num_alignments=10",
+        "slam.odometry.reassoc_every=10",
+        "slam.odometry.reassoc_motion_m=0.2"])
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "run" / "synth_00.poses.txt", sep=",")
+    absolute = np.concatenate(
+        [df.values.reshape(-1, 3, 4),
+         np.tile(np.array([[[0, 0, 0, 1.0]]]), (len(df), 1, 1))], axis=1)
+    rel_pred = ev.compute_relative_poses(absolute)
+    rel_gt = runner.dataset_loader.get_ground_truth("synth_00")[:14]
+    ate, _ = ev.compute_ate(rel_pred, rel_gt)
+    assert ate < 0.02, f"surfel motion-gated ATE too high: {ate}"
+
+
+@pytest.mark.slow
 def test_batched_odometry_matches_per_frame_constraints():
     """batch_size>1 must feed loop closure + backend the same per-frame
     constraint stream as batch_size=1 (round-1 weak #4): per-frame poses are
