@@ -1,0 +1,109 @@
+"""Voxel-hash candidate 1-NN: a bucketed pre-filter for the surfel map.
+
+The surfel ("kdtree") local map's exact brute-force 1-NN streams every map
+point past every query (ops/pallas/nn_kernel.py) -- O(M*V) work per
+re-association pass.  This module trades that for an O(M + V) bucketed
+search, exploiting that ICP only *keeps* correspondences closer than the
+gate radius ``max_neighbor_dist`` (surfel_map.py `ok` mask; the reference
+discards the same way via its residual gating,
+/root/reference/slam/odometry/alignment.py:91-127):
+
+* the map (static for the whole registration of one frame) is scattered
+  once into a hash table of ``n_buckets`` buckets x ``cap`` point slots,
+  keyed by the voxel of edge ``voxel_size``;
+* each query probes the 2x2x2 voxel block starting at
+  ``floor((q - r) / voxel)``.  With ``voxel_size >= 2 r`` the axis interval
+  ``[q - r, q + r]`` (length ``2r <= voxel``) spans at most two voxels per
+  axis, so EVERY map point within ``r`` of the query is among the probed
+  candidates -- the result is *identical* to brute-force + gate unless a
+  bucket overflows ``cap``;
+* hash collisions only add far-away distractor candidates; they are ranked
+  by their true distance and cannot displace a genuine in-radius neighbor;
+* bucket overflow drops the lowest-priority residents of that voxel --
+  a bounded, deterministic density cap (the voxel is already surface-dense
+  when it overflows, so a near-duplicate neighbor survives).
+
+Everything is fixed-shape XLA (sort + scatter-drop + gather); no Pallas
+needed -- the candidate set is small enough that gathers dominate, and XLA's
+gather lowering is the fastest primitive available for them.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pylidar_slam_tpu.ops.voxel import HASH_PRIMES
+
+
+def _bucket_of(coords: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
+    """(..., 3) int32 voxel coords -> (...,) bucket id in [0, n_buckets).
+
+    Three-prime spatial hash with an avalanche finalizer: the prime mix
+    alone leaves neighboring voxels correlated in the low bits that the
+    power-of-two mask keeps.
+    """
+    h = (HASH_PRIMES[0] * coords[..., 0]
+         ^ HASH_PRIMES[1] * coords[..., 1]
+         ^ HASH_PRIMES[2] * coords[..., 2]).astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x45D9F3B)
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+
+
+def build_hash_grid(points: jnp.ndarray, valid: jnp.ndarray,
+                    voxel_size: float, n_buckets: int,
+                    cap: int) -> jnp.ndarray:
+    """Scatters (V, 3) points into a (n_buckets * cap,) slot table.
+
+    Returns int32 point indices, -1 for empty slots.  Overflowing residents
+    (rank >= cap within their bucket) are dropped deterministically (sorted
+    by point index).  ``n_buckets`` must be a power of two.
+    """
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    v = points.shape[0]
+    coords = jnp.floor(points / voxel_size).astype(jnp.int32)
+    bucket = _bucket_of(coords, n_buckets)
+    # Invalid points sort past every real bucket and scatter out of bounds.
+    bucket = jnp.where(valid, bucket, jnp.int32(n_buckets))
+
+    order = jnp.argsort(bucket, stable=True)
+    sorted_b = bucket[order]
+    idx = jnp.arange(v, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.array([True]),
+                             sorted_b[1:] != sorted_b[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(first, idx, 0))
+    rank = idx - seg_start
+    keep = (rank < cap) & (sorted_b < n_buckets)
+    slot = jnp.where(keep, sorted_b * cap + rank, jnp.int32(n_buckets * cap))
+
+    slots = jnp.full((n_buckets * cap,), -1, jnp.int32)
+    return slots.at[slot].set(order.astype(jnp.int32), mode="drop")
+
+
+def hash_grid_nn(queries: jnp.ndarray, points: jnp.ndarray,
+                 slots: jnp.ndarray, voxel_size: float, n_buckets: int,
+                 cap: int, radius: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bucketed 1-NN: (M, 3) queries -> (idx (M,), sq_dist (M,)).
+
+    Exact within ``radius`` (given ``voxel_size >= 2 * radius`` and no bucket
+    overflow); queries with no candidate get idx 0 / sq_dist +inf, which the
+    caller's distance gate discards.
+    """
+    m = queries.shape[0]
+    base = jnp.floor((queries - radius) / voxel_size).astype(jnp.int32)
+    # 2x2x2 probe block: (8, 3) offsets.
+    offs = jnp.stack(jnp.meshgrid(*([jnp.arange(2, dtype=jnp.int32)] * 3),
+                                  indexing="ij"), axis=-1).reshape(8, 3)
+    probe = base[:, None, :] + offs[None, :, :]  # (M, 8, 3)
+    buckets = _bucket_of(probe, n_buckets)  # (M, 8)
+    slot_ids = buckets[..., None] * cap + jnp.arange(cap, dtype=jnp.int32)
+    cand = slots[slot_ids.reshape(m, 8 * cap)]  # (M, 8*cap) point ids, -1 empty
+    cand_pts = points[jnp.maximum(cand, 0)]  # (M, 8*cap, 3)
+    d = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
+    d = jnp.where(cand >= 0, d, jnp.inf)
+    best = jnp.argmin(d, axis=1)
+    take = jnp.arange(m)
+    return jnp.maximum(cand[take, best], 0), d[take, best]

@@ -48,6 +48,14 @@ class SurfelRingMapConfig(LocalMapConfig):
     # the dense map defaults above; the reference's GN has no damping,
     # optimization.py:296-344).  Keep > 0 only for very sparse maps.
     levenberg_damping: float = 0.0
+    # NN search backend: "exact" streams every map point past every target
+    # (Pallas brute force); "hash" probes a voxel-hash bucket grid -- O(M+V)
+    # instead of O(M*V), identical to exact-within-the-gate unless a bucket
+    # overflows hash_capacity (ops/hash_nn.py).
+    nn_backend: str = "exact"
+    hash_buckets: int = 8192  # power of two
+    hash_capacity: int = 32  # map points kept per bucket
+    hash_voxel: float = 0.0  # bucket edge; 0 -> 2 * max_neighbor_dist
 
 
 LOCAL_MAP.register("kdtree_local_map", object, SurfelRingMapConfig)
@@ -119,6 +127,13 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
     nks = int(map_cfg.normals_kernel_size)
     damping = float(map_cfg.levenberg_damping)
     reassoc_every = max(int(reassoc_every or 1), 1)
+    use_hash = str(getattr(map_cfg, "nn_backend", "exact")) == "hash"
+    hash_buckets = int(map_cfg.hash_buckets)
+    hash_cap = int(map_cfg.hash_capacity)
+    hash_voxel = float(map_cfg.hash_voxel) or 2.0 * max_nd
+    assert hash_voxel >= 2.0 * max_nd or not use_hash, (
+        f"hash_voxel {hash_voxel} < 2 * max_neighbor_dist {2 * max_nd}: the "
+        f"2x2x2 probe would miss in-gate neighbors (ops/hash_nn.py)")
     if shard_mesh is not None:
         n_shard = shard_mesh.devices.size
         assert m_targets % n_shard == 0, (
@@ -142,6 +157,14 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
     def _register_impl(state: SurfelMapState, targets: jnp.ndarray,
                        t_valid: jnp.ndarray, t_init: jnp.ndarray,
                        axis_name=None):
+        if use_hash:
+            # The map is static for the whole registration; one bucket-grid
+            # build (a V-point sort + scatter) serves every NN pass.
+            from pylidar_slam_tpu.ops.hash_nn import (build_hash_grid,
+                                                      hash_grid_nn)
+            slots = build_hash_grid(state.points, state.valid, hash_voxel,
+                                    hash_buckets, hash_cap)
+
         def body(carry):
             t, ref, nrm, t_assoc, _, it, _, _ = carry
             moved = se3.apply_transformation(targets[None], t[None])[0]
@@ -151,6 +174,18 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
             # distances recomputed at the current pose (the agg map's
             # round-2 trick -- the NN pass dominates the surfel step cost).
             def research(_):
+                if use_hash:
+                    idx, sq = hash_grid_nn(moved, state.points, slots,
+                                           hash_voxel, hash_buckets, hash_cap,
+                                           max_nd)
+                    # No-candidate queries carry sq=inf; zero their normals
+                    # so held-pair reuse can never resurrect them through
+                    # the distance gate.
+                    found = jnp.isfinite(sq)[:, None]
+                    return (jnp.where(found, jnp.take(state.points, idx,
+                                                      axis=0), 0.0),
+                            jnp.where(found, jnp.take(state.normals, idx,
+                                                      axis=0), 0.0), sq, t)
                 idx, sq = nn_argmin(moved, state.points, state.valid)
                 return (jnp.take(state.points, idx, axis=0),
                         jnp.take(state.normals, idx, axis=0), sq, t)

@@ -1,0 +1,75 @@
+"""Voxel-hash candidate NN (ops/hash_nn.py) vs brute force.
+
+The hash grid is a pre-filter for the surfel map's gated 1-NN: within the
+gate radius (and absent bucket overflow) it must reproduce brute force
+EXACTLY -- same winning distance for every query whose true NN is closer
+than the radius (reference analog: the kd-tree query + residual gate,
+/root/reference/slam/odometry/local_map.py:372-395).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from pylidar_slam_tpu.ops import icp3d
+from pylidar_slam_tpu.ops.hash_nn import build_hash_grid, hash_grid_nn
+
+RADIUS = 1.0
+VOXEL = 2.0 * RADIUS
+
+
+def _brute(queries, points, valid):
+    idx, sq = icp3d.brute_force_nn(jnp.asarray(queries), jnp.asarray(points),
+                                   jnp.asarray(valid))
+    return np.asarray(idx), np.asarray(sq)
+
+
+def test_hash_nn_matches_brute_force_within_radius():
+    rng = np.random.default_rng(0)
+    points = rng.uniform(-20, 20, size=(4096, 3)).astype(np.float32)
+    valid = np.ones(4096, bool)
+    valid[::17] = False  # invalid map slots never win
+    queries = (points[rng.integers(0, 4096, size=1024)]
+               + rng.normal(0, 0.4, size=(1024, 3))).astype(np.float32)
+
+    slots = build_hash_grid(jnp.asarray(points), jnp.asarray(valid),
+                            VOXEL, n_buckets=4096, cap=64)
+    h_idx, h_sq = hash_grid_nn(jnp.asarray(queries), jnp.asarray(points),
+                               slots, VOXEL, 4096, 64, RADIUS)
+    h_idx, h_sq = np.asarray(h_idx), np.asarray(h_sq)
+    b_idx, b_sq = _brute(queries, points, valid)
+
+    in_gate = b_sq < RADIUS ** 2
+    assert in_gate.sum() > 800  # the fixture actually exercises the gate
+    # Identical winning distances (ties may pick a different equal-distance
+    # index; distances are the quantity ICP consumes).
+    np.testing.assert_allclose(h_sq[in_gate], b_sq[in_gate], rtol=1e-6)
+    agree = h_idx[in_gate] == b_idx[in_gate]
+    ties = np.isclose(h_sq[in_gate], b_sq[in_gate])
+    assert np.all(agree | ties)
+    # Invalid map points are never returned inside the gate.
+    assert valid[h_idx[in_gate]].all()
+
+
+def test_hash_nn_no_candidates_returns_inf():
+    points = np.zeros((512, 3), np.float32)
+    valid = np.ones(512, bool)
+    slots = build_hash_grid(jnp.asarray(points), jnp.asarray(valid),
+                            VOXEL, n_buckets=256, cap=8)
+    q = np.full((256, 3), 100.0, np.float32)  # far outside any bucket
+    idx, sq = hash_grid_nn(jnp.asarray(q), jnp.asarray(points), slots,
+                           VOXEL, 256, 8, RADIUS)
+    assert np.all(np.isinf(np.asarray(sq)))
+    assert np.all(np.asarray(idx) >= 0)  # safe gather index, gated by sq
+
+
+def test_hash_grid_overflow_keeps_a_near_neighbor():
+    # 64 coincident points overflow a cap-4 bucket; a same-voxel survivor
+    # must still be found at (near-)zero distance.
+    rng = np.random.default_rng(1)
+    points = (1.0 + rng.normal(0, 0.01, size=(64, 3))).astype(np.float32)
+    valid = np.ones(64, bool)
+    slots = build_hash_grid(jnp.asarray(points), jnp.asarray(valid),
+                            VOXEL, n_buckets=256, cap=4)
+    assert int((np.asarray(slots) >= 0).sum()) == 4
+    idx, sq = hash_grid_nn(jnp.asarray(points), jnp.asarray(points), slots,
+                           VOXEL, 256, 4, RADIUS)
+    assert np.all(np.asarray(sq) < 0.01 ** 2 * 64)

@@ -169,6 +169,32 @@ def test_surfel_motion_gated_reassociation_tracks(tmp_path):
 
 
 @pytest.mark.slow
+def test_surfel_hash_nn_tracks(tmp_path):
+    # Voxel-hash candidate NN (ops/hash_nn.py): O(M+V) bucketed search in
+    # place of the O(M*V) brute-force pass; must track the same sequence at
+    # the same accuracy bar as the exact backend.
+    runner = _run(tmp_path, [
+        "slam/odometry/local_map=kdtree",
+        "slam.odometry.local_map.points_per_frame=1024",
+        "slam.odometry.local_map.target_samples=8192",
+        "slam.odometry.local_map.nn_backend=hash",
+        "slam.odometry.local_map.hash_buckets=8192",
+        "slam.odometry.local_map.hash_capacity=32",
+        "slam.odometry.max_num_alignments=10",
+        "slam.odometry.reassoc_every=10",
+        "slam.odometry.reassoc_motion_m=0.2"])
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "run" / "synth_00.poses.txt", sep=",")
+    absolute = np.concatenate(
+        [df.values.reshape(-1, 3, 4),
+         np.tile(np.array([[[0, 0, 0, 1.0]]]), (len(df), 1, 1))], axis=1)
+    rel_pred = ev.compute_relative_poses(absolute)
+    rel_gt = runner.dataset_loader.get_ground_truth("synth_00")[:14]
+    ate, _ = ev.compute_ate(rel_pred, rel_gt)
+    assert ate < 0.02, f"surfel hash-NN ATE too high: {ate}"
+
+
+@pytest.mark.slow
 def test_batched_odometry_matches_per_frame_constraints():
     """batch_size>1 must feed loop closure + backend the same per-frame
     constraint stream as batch_size=1 (round-1 weak #4): per-frame poses are
