@@ -50,7 +50,12 @@ def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
         # Surfel champion settings (docs/benchmark.md); wr/wc unused.
         local_map = {"type": "kdtree_local_map", "local_map_size": 30,
                      "points_per_frame": 4096, "sample_voxel_size": 0.3,
-                     "levenberg_damping": 0.0}
+                     "levenberg_damping": 0.0,
+                     # SWEEP_NN=hash swaps the brute-force NN for the
+                     # voxel-hash candidate search (ops/hash_nn.py).
+                     "nn_backend": os.environ.get("SWEEP_NN", "exact"),
+                     "hash_capacity":
+                         int(os.environ.get("SWEEP_NN_CAP", "32"))}
         scheme, sigma = "neighborhood", 0.2
     else:
         local_map = {"type": "aggregated_local_map", "local_map_size": 20,

@@ -35,4 +35,14 @@ SWEEP_MAP=kdtree SWEEP_BATCH=8 \
   timeout 2400 python scripts/dev_sweep_agg.py > $OUT/surfel_ab.txt 2>&1
 grep tr_err $OUT/surfel_ab.txt | tee -a $OUT/log
 
+echo "=== 7. surfel NN backend A/B (exact vs voxel-hash, gated+batched) ===" | tee -a $OUT/log
+SWEEP_MAP=kdtree SWEEP_BATCH=8 \
+  SWEEP_VARIANTS="gate:20:20:0:0:0.20" \
+  timeout 2400 python scripts/dev_sweep_agg.py > $OUT/surfel_exact.txt 2>&1
+grep tr_err $OUT/surfel_exact.txt | tee -a $OUT/log
+SWEEP_MAP=kdtree SWEEP_BATCH=8 SWEEP_NN=hash \
+  SWEEP_VARIANTS="gate:20:20:0:0:0.20,r4:20:4:0:0" \
+  timeout 2400 python scripts/dev_sweep_agg.py > $OUT/surfel_hash.txt 2>&1
+grep tr_err $OUT/surfel_hash.txt | tee -a $OUT/log
+
 echo "=== DONE ===" | tee -a $OUT/log
