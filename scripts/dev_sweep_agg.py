@@ -48,8 +48,17 @@ DEFAULT = "base:12:4:1:2,w11:12:4:1:1,w01:12:4:0:1,i10:10:5:1:2," \
 def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
     if os.environ.get("SWEEP_MAP", "aggregated") == "kdtree":
         # Surfel champion settings (docs/benchmark.md); wr/wc unused.
-        local_map = {"type": "kdtree_local_map", "local_map_size": 30,
-                     "points_per_frame": 4096, "sample_voxel_size": 0.3,
+        local_map = {"type": "kdtree_local_map",
+                     "local_map_size": int(os.environ.get("SWEEP_K", "30")),
+                     "points_per_frame": int(os.environ.get("SWEEP_S", "4096")),
+                     "sample_voxel_size":
+                         float(os.environ.get("SWEEP_MAP_VOXEL", "0.3")),
+                     "target_samples":
+                         int(os.environ.get("SWEEP_TGT", "16384")),
+                     "target_voxel_size":
+                         float(os.environ.get("SWEEP_TGT_VOXEL", "0.4")),
+                     "max_neighbor_dist":
+                         float(os.environ.get("SWEEP_ND", "1.0")),
                      "levenberg_damping": 0.0,
                      # SWEEP_NN=hash swaps the brute-force NN for the
                      # voxel-hash candidate search (ops/hash_nn.py).

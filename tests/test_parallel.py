@@ -127,11 +127,16 @@ def test_surfel_shard_points_matches_single_device():
     frames = [np.asarray(seq[i]["numpy_pc"], np.float32) for i in range(6)]
     proj = SphericalProjection(32, 256, 3.0, -24.0)
 
-    def run(shard):
+    def run(shard, nn_backend="exact"):
         icp = ICPFrameToModelConfig(
             max_num_alignments=6,
             local_map={"type": "kdtree_local_map", "local_map_size": 4,
-                       "points_per_frame": 512, "target_samples": 2048},
+                       "points_per_frame": 512, "target_samples": 2048,
+                       # Capacity >> voxel occupancy: no bucket overflow, so
+                       # hash NN is exactly brute-force-within-the-gate and
+                       # the trajectories must agree to reduction order.
+                       "nn_backend": nn_backend, "hash_capacity": 256,
+                       "hash_buckets": 1024},
             num_points_padded=8192, data_key="numpy_pc",
             shard_points=shard)
         odom = ICPFrameToModel(icp, projector=proj)
@@ -147,3 +152,11 @@ def test_surfel_shard_points_matches_single_device():
     poses8 = run(8)
     assert poses1.shape == poses8.shape
     np.testing.assert_allclose(poses8, poses1, atol=5e-4)
+    # Voxel-hash NN under sharding: the bucket grid builds per shard from
+    # the replicated map state; sharded must match unsharded to reduction
+    # order.  (Hash vs exact agrees only to correspondence tie-breaks --
+    # that equivalence is pinned at the unit level in test_hash_nn.py.)
+    poses_hash1 = run(0, nn_backend="hash")
+    poses_hash8 = run(8, nn_backend="hash")
+    np.testing.assert_allclose(poses_hash8, poses_hash1, atol=5e-4)
+    np.testing.assert_allclose(poses_hash1, poses1, atol=2e-2)
