@@ -10,7 +10,9 @@ excluded, and reports scans/s + per-stage means.
 
 Usage:  python scripts/bench_full_pipeline.py
 Env:    FP_FRAMES (default 250), FP_BATCH (12), FP_WARMUP_FRAMES (48),
-        FP_SPEED (0.5 -- keeps 250 frames inside the +/-120 m wall field).
+        FP_SPEED (0.5 -- keeps 250 frames inside the +/-120 m wall field),
+        FP_ITERS/FP_REASSOC/FP_MOTION (GN schedule; defaults to the round-2
+        12/4 schedule, FP_ITERS=8 FP_REASSOC=8 FP_MOTION=0.2 for the gate).
 """
 import json
 import os
@@ -51,8 +53,9 @@ def main():
         f"slam.odometry.batch_size={BATCH}",
         "slam.odometry.upload_format=rimg8",
         "slam.odometry.num_points_padded=66560",
-        "slam.odometry.reassoc_every=4",
-        "slam.odometry.max_num_alignments=12",
+        f"slam.odometry.reassoc_every={os.environ.get('FP_REASSOC', '4')}",
+        f"slam.odometry.max_num_alignments={os.environ.get('FP_ITERS', '12')}",
+        f"slam.odometry.reassoc_motion_m={os.environ.get('FP_MOTION', '0.0')}",
         "slam.odometry.alignment.gauss_newton_config.scheme=geman_mcclure",
         "slam.odometry.alignment.gauss_newton_config.sigma=0.3",
     ])["slam"]

@@ -21,9 +21,12 @@ SWEEP_VARIANTS="base:12:4:1:2,i8mg20:8:8:1:2:0.20" \
   timeout 1800 python scripts/dev_sweep_agg.py > $OUT/sweep_ab.txt 2>&1
 grep tr_err $OUT/sweep_ab.txt | tee -a $OUT/log
 
-echo "=== 4. full pipeline steady state ===" | tee -a $OUT/log
+echo "=== 4. full pipeline steady state (12/4 and gated schedules) ===" | tee -a $OUT/log
 timeout 1800 python scripts/bench_full_pipeline.py > $OUT/full_pipeline.json 2> $OUT/full_pipeline.err
 tail -1 $OUT/full_pipeline.json | tee -a $OUT/log
+FP_ITERS=8 FP_REASSOC=8 FP_MOTION=0.2 \
+  timeout 1800 python scripts/bench_full_pipeline.py > $OUT/full_pipeline_gate.json 2> $OUT/full_pipeline_gate.err
+tail -1 $OUT/full_pipeline_gate.json | tee -a $OUT/log
 
 echo "=== 5. device step decomposition ===" | tee -a $OUT/log
 timeout 1200 python scripts/dev_profile_iters.py > $OUT/profile_iters.txt 2>&1
