@@ -88,6 +88,70 @@ def compute_normal_map(vertex_map: jnp.ndarray, kernel_size: int = 5) -> jnp.nda
     return jnp.where(null_pixel, 0.0, n)
 
 
+def smallest_eigenvector_3x3(m: jnp.ndarray,
+                             eps: float = 1.0e-9) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of batched symmetric
+    (..., 3, 3) matrices, closed form (no iterative eigensolver: pure
+    elementwise math, TPU/VPU-friendly).
+
+    Eigenvalues via the trigonometric solution of the characteristic cubic;
+    the eigenvector via the column space of ``(A - l1 I)(A - l2 I)`` (for
+    distinct eigenvalues its columns are multiples of the l3 eigenvector).
+    Near-isotropic matrices (plane undefined) return zeros.
+    """
+    a00, a11, a22 = m[..., 0, 0], m[..., 1, 1], m[..., 2, 2]
+    a01, a02, a12 = m[..., 0, 1], m[..., 0, 2], m[..., 1, 2]
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 ** 2 + a02 ** 2 + a12 ** 2
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 0.0) / 6.0)
+    safe_p = jnp.where(p > eps, p, 1.0)
+    b = (m - q[..., None, None] * jnp.eye(3, dtype=m.dtype)) \
+        / safe_p[..., None, None]
+    det_b = (b[..., 0, 0] * (b[..., 1, 1] * b[..., 2, 2]
+                             - b[..., 1, 2] * b[..., 2, 1])
+             - b[..., 0, 1] * (b[..., 1, 0] * b[..., 2, 2]
+                               - b[..., 1, 2] * b[..., 2, 0])
+             + b[..., 0, 2] * (b[..., 1, 0] * b[..., 2, 1]
+                               - b[..., 1, 1] * b[..., 2, 0]))
+    r = jnp.clip(det_b / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    l1 = q + 2.0 * p * jnp.cos(phi)  # largest
+    l3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    l2 = 3.0 * q - l1 - l3
+
+    eye = jnp.eye(3, dtype=m.dtype)
+    prod = (m - l1[..., None, None] * eye) @ (m - l2[..., None, None] * eye)
+    col_norms = jnp.linalg.norm(prod, axis=-2)  # (..., 3) per column
+    best = jnp.argmax(col_norms, axis=-1)
+    v = jnp.take_along_axis(
+        prod, jnp.broadcast_to(best[..., None, None],
+                               (*m.shape[:-2], 3, 1)), axis=-1)[..., 0]
+    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    ok = (p > eps)[..., None] & (norm > eps)
+    return jnp.where(ok, v / jnp.where(norm > eps, norm, 1.0), 0.0)
+
+
+def knn_plane_normals(neighbors: jnp.ndarray, valid: jnp.ndarray,
+                      min_neighbors: int = 3) -> jnp.ndarray:
+    """Per-query plane normal from k gathered neighbors.
+
+    ``neighbors`` (M, k, 3) with validity (M, k): the normal is the smallest
+    eigenvector of the neighbors' sample covariance (the reference's lazy
+    map normals, local_map.py:397-422, computed there as the smallest
+    singular vector of the k=10-NN neighborhood).  Queries with fewer than
+    ``min_neighbors`` valid neighbors get a zero normal.
+    """
+    w = valid.astype(neighbors.dtype)[..., None]  # (M, k, 1)
+    count = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (M, 1)
+    mean = jnp.sum(neighbors * w, axis=1) / count
+    centered = (neighbors - mean[:, None, :]) * w
+    cov = jnp.einsum("mki,mkj->mij", centered, centered) / count[..., None]
+    n = smallest_eigenvector_3x3(cov)
+    enough = jnp.sum(valid, axis=1) >= min_neighbors
+    return jnp.where(enough[:, None], n, 0.0)
+
+
 def oriented_normal_map(vertex_map: jnp.ndarray, kernel_size: int = 5) -> jnp.ndarray:
     """Normal map with normals oriented towards the sensor origin.
 

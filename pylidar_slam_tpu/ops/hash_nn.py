@@ -92,6 +92,36 @@ def hash_grid_nn(queries: jnp.ndarray, points: jnp.ndarray,
     overflow); queries with no candidate get idx 0 / sq_dist +inf, which the
     caller's distance gate discards.
     """
+    cand, d = _candidate_distances(queries, points, slots, voxel_size,
+                                   n_buckets, cap, radius)
+    m = queries.shape[0]
+    best = jnp.argmin(d, axis=1)
+    take = jnp.arange(m)
+    return jnp.maximum(cand[take, best], 0), d[take, best]
+
+
+def hash_grid_knn(queries: jnp.ndarray, points: jnp.ndarray,
+                  slots: jnp.ndarray, voxel_size: float, n_buckets: int,
+                  cap: int, radius: float,
+                  k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bucketed k-NN: (M, 3) queries -> (idx (M, k), sq_dist (M, k)).
+
+    Candidates come from the same 2x2x2 probe as :func:`hash_grid_nn`, so
+    the j-th neighbor is exact while its distance stays under ``radius``
+    (and no bucket overflowed).  Missing neighbors carry sq_dist +inf and
+    idx 0 (safe gather index) -- mask on ``jnp.isfinite(sq)``.
+    """
+    cand, d = _candidate_distances(queries, points, slots, voxel_size,
+                                   n_buckets, cap, radius)
+    neg_top, pos = jax.lax.top_k(-d, k)  # ascending true distance
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    return jnp.maximum(idx, 0), -neg_top
+
+
+def _candidate_distances(queries, points, slots, voxel_size, n_buckets,
+                         cap, radius):
+    """Shared probe: (M, 8*cap) candidate point ids (-1 empty) and their
+    squared distances (+inf where empty)."""
     m = queries.shape[0]
     base = jnp.floor((queries - radius) / voxel_size).astype(jnp.int32)
     # 2x2x2 probe block: (8, 3) offsets.
@@ -99,11 +129,15 @@ def hash_grid_nn(queries: jnp.ndarray, points: jnp.ndarray,
                                   indexing="ij"), axis=-1).reshape(8, 3)
     probe = base[:, None, :] + offs[None, :, :]  # (M, 8, 3)
     buckets = _bucket_of(probe, n_buckets)  # (M, 8)
+    # Two probed voxels can hash-collide into the SAME bucket (~8/n_buckets
+    # of queries); gather its residents only once or k-NN sees duplicates.
+    repeats = jnp.tril(
+        buckets[:, :, None] == buckets[:, None, :], k=-1)  # (M, 8, 8), j > i
+    dup = jnp.any(repeats, axis=-1)  # (M, 8): probe j repeats an earlier one
     slot_ids = buckets[..., None] * cap + jnp.arange(cap, dtype=jnp.int32)
     cand = slots[slot_ids.reshape(m, 8 * cap)]  # (M, 8*cap) point ids, -1 empty
+    cand = jnp.where(jnp.repeat(dup, cap, axis=1), -1, cand)
     cand_pts = points[jnp.maximum(cand, 0)]  # (M, 8*cap, 3)
     d = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
     d = jnp.where(cand >= 0, d, jnp.inf)
-    best = jnp.argmin(d, axis=1)
-    take = jnp.arange(m)
-    return jnp.maximum(cand[take, best], 0), d[take, best]
+    return cand, d

@@ -56,6 +56,12 @@ class SurfelRingMapConfig(LocalMapConfig):
     hash_buckets: int = 8192  # power of two
     hash_capacity: int = 32  # map points kept per bucket
     hash_voxel: float = 0.0  # bucket edge; 0 -> 2 * max_neighbor_dist
+    # Map-point normal estimation at insert time: "image" fits a plane per
+    # scan pixel window (compute_normal_map); "knn" fits the
+    # num_neighbors_normals nearest points of the ACCUMULATED map (the
+    # reference's lazy kd-tree normals, local_map.py:397-422) via the hash
+    # grid -- cross-frame surface context instead of single-scan windows.
+    normals_mode: str = "image"
 
 
 LOCAL_MAP.register("kdtree_local_map", object, SurfelRingMapConfig)
@@ -277,23 +283,40 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
         moved = se3.apply_transformation(state.points[None], inv[None])[0]
         moved_nrm = se3.apply_rotation(state.normals[None], inv[None])[0]
 
-        # Scan surfels: grid-sample + image normals gathered at winner pixels
+        # Scan surfels: grid-sample winner pixels of the rasterized scan
         idx_img, hit = _rasterize_idx(points, mask)
         vmap = jnp.where(hit[:, None], jnp.take(points, idx_img, axis=0),
                         0.0).reshape(proj.height, proj.width, 3)
-        nmap = geometry.compute_normal_map(vmap, nks)
         vpix = vmap.reshape(-1, 3)
-        npix = nmap.reshape(-1, 3)
         pix_valid = jnp.max(jnp.abs(vpix), axis=-1) > 0
         sel_pts, sel_idx, sel_valid = _grid_sample_fixed(
             vpix, pix_valid, float(map_cfg.sample_voxel_size), s)
-        sel_nrm = jnp.take(npix, sel_idx, axis=0)
-        sel_valid = sel_valid & (jnp.max(jnp.abs(sel_nrm), axis=-1) > 0)
 
         slot = state.write_slot
         start = slot * s
         zero = jnp.zeros((), start.dtype)
         new_points = jax.lax.dynamic_update_slice(moved, sel_pts, (start, zero))
+        pre_valid = jax.lax.dynamic_update_slice(state.valid, sel_valid,
+                                                 (start,))
+
+        if str(map_cfg.normals_mode) == "knn":
+            # Cross-frame normals: plane fit over the num_neighbors_normals
+            # nearest points of the accumulated map (incl. the new frame,
+            # written above) -- the reference's lazy kd-tree normals.
+            from pylidar_slam_tpu.ops.hash_nn import (build_hash_grid,
+                                                      hash_grid_knn)
+            grid = build_hash_grid(new_points, pre_valid, hash_voxel,
+                                   hash_buckets, hash_cap)
+            idxk, sqk = hash_grid_knn(
+                sel_pts, new_points, grid, hash_voxel, hash_buckets, hash_cap,
+                max_nd, int(map_cfg.num_neighbors_normals))
+            nb = jnp.take(new_points, idxk, axis=0)
+            sel_nrm = geometry.knn_plane_normals(nb, jnp.isfinite(sqk))
+        else:
+            nmap = geometry.compute_normal_map(vmap, nks)
+            sel_nrm = jnp.take(nmap.reshape(-1, 3), sel_idx, axis=0)
+        sel_valid = sel_valid & (jnp.max(jnp.abs(sel_nrm), axis=-1) > 0)
+
         new_normals = jax.lax.dynamic_update_slice(moved_nrm, sel_nrm,
                                                    (start, zero))
         new_valid = jax.lax.dynamic_update_slice(state.valid, sel_valid, (start,))

@@ -64,7 +64,9 @@ def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
                      # voxel-hash candidate search (ops/hash_nn.py).
                      "nn_backend": os.environ.get("SWEEP_NN", "exact"),
                      "hash_capacity":
-                         int(os.environ.get("SWEEP_NN_CAP", "32"))}
+                         int(os.environ.get("SWEEP_NN_CAP", "32")),
+                     # SWEEP_NORMALS=knn: cross-frame k-NN map normals.
+                     "normals_mode": os.environ.get("SWEEP_NORMALS", "image")}
         scheme, sigma = "neighborhood", 0.2
     else:
         local_map = {"type": "aggregated_local_map", "local_map_size": 20,

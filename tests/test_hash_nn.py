@@ -61,6 +61,57 @@ def test_hash_nn_no_candidates_returns_inf():
     assert np.all(np.asarray(idx) >= 0)  # safe gather index, gated by sq
 
 
+def test_hash_knn_matches_brute_force_within_radius():
+    rng = np.random.default_rng(2)
+    points = rng.uniform(-10, 10, size=(2048, 3)).astype(np.float32)
+    valid = np.ones(2048, bool)
+    queries = (points[rng.integers(0, 2048, size=256)]
+               + rng.normal(0, 0.2, size=(256, 3))).astype(np.float32)
+    k = 8
+    slots = build_hash_grid(jnp.asarray(points), jnp.asarray(valid),
+                            VOXEL, n_buckets=4096, cap=64)
+    from pylidar_slam_tpu.ops.hash_nn import hash_grid_knn
+    idxk, sqk = hash_grid_knn(jnp.asarray(queries), jnp.asarray(points),
+                              slots, VOXEL, 4096, 64, RADIUS, k)
+    idxk, sqk = np.asarray(idxk), np.asarray(sqk)
+    # ascending distances (where consecutive entries are both finite;
+    # missing neighbors carry +inf and always sort last)
+    finite = np.isfinite(sqk)
+    both = finite[:, 1:] & finite[:, :-1]
+    assert np.all(np.diff(sqk, axis=1)[both] >= -1e-6)
+    assert np.all(finite[:, :-1] | ~finite[:, 1:])  # inf is a suffix
+    # brute-force j-th neighbor distances; the j-th hash neighbor must match
+    # while its true distance stays under the radius
+    d_all = ((queries[:, None, :] - points[None]) ** 2).sum(-1)
+    d_sorted = np.sort(d_all, axis=1)[:, :k]
+    within = d_sorted < RADIUS ** 2
+    np.testing.assert_allclose(sqk[within], d_sorted[within], rtol=1e-5)
+
+
+def test_knn_plane_normals_recovers_plane():
+    from pylidar_slam_tpu.ops.geometry import (knn_plane_normals,
+                                               smallest_eigenvector_3x3)
+    rng = np.random.default_rng(3)
+    # smallest_eigenvector vs LAPACK eigh on random PSD matrices
+    a = rng.normal(size=(200, 3, 3))
+    covs = (a @ a.transpose(0, 2, 1)).astype(np.float32)
+    v = np.asarray(smallest_eigenvector_3x3(jnp.asarray(covs)))
+    _, vecs = np.linalg.eigh(covs)
+    dots = np.abs(np.sum(v * vecs[:, :, 0], axis=1))
+    assert dots.min() > 0.999
+    # masked plane fit: tilted plane, invalid rows ignored
+    normal = np.array([1.0, 2.0, 2.0]) / 3.0
+    u = np.array([2.0, -1.0, 0.0]) / np.sqrt(5)
+    w = np.cross(normal, u)
+    coef = rng.uniform(-1, 1, size=(64, 10, 2))
+    pts = (coef[..., :1] * u + coef[..., 1:] * w).astype(np.float32)
+    pts[:, 7:] = 100.0  # poisoned rows, masked out
+    valid = np.ones((64, 10), bool)
+    valid[:, 7:] = False
+    n = np.asarray(knn_plane_normals(jnp.asarray(pts), jnp.asarray(valid)))
+    assert np.abs(n @ normal).min() > 0.999
+
+
 def test_hash_grid_overflow_keeps_a_near_neighbor():
     # 64 coincident points overflow a cap-4 bucket; a same-voxel survivor
     # must still be found at (near-)zero distance.
