@@ -61,7 +61,9 @@ class SurfelRingMapConfig(LocalMapConfig):
     # num_neighbors_normals nearest points of the ACCUMULATED map (the
     # reference's lazy kd-tree normals, local_map.py:397-422) via the hash
     # grid -- cross-frame surface context instead of single-scan windows.
-    normals_mode: str = "image"
+    # knn is the default: 0.1155% -> 0.0155% tr_err on the 140-frame
+    # fixture (CPU trend, champion settings).
+    normals_mode: str = "knn"
 
 
 LOCAL_MAP.register("kdtree_local_map", object, SurfelRingMapConfig)

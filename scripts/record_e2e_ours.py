@@ -34,11 +34,14 @@ SEQ_KW = dict(lidar_height=64, lidar_width=1024, num_frames=140,
 
 # The champion configurations (TPU round-3 sweeps; see docs/benchmark.md).
 CONFIGS = {
+    # Surfel champion: exact NN re-searched every iteration + cross-frame
+    # k-NN map normals (normals_mode=knn: 0.1155% -> 0.0155% tr_err on the
+    # CPU trend -- the round-3 accuracy lever).
     "surfel": ICPFrameToModelConfig(
         max_num_alignments=20, reassoc_every=1,
         local_map={"type": "kdtree_local_map", "local_map_size": 30,
                    "points_per_frame": 4096, "sample_voxel_size": 0.3,
-                   "levenberg_damping": 0.0},
+                   "levenberg_damping": 0.0, "normals_mode": "knn"},
         alignment={"gauss_newton_config": {"scheme": "neighborhood",
                                            "sigma": 0.2, "max_iters": 1}},
         num_points_padded=65536, data_key="numpy_pc"),
