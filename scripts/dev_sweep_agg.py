@@ -65,8 +65,9 @@ def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
                      "nn_backend": os.environ.get("SWEEP_NN", "exact"),
                      "hash_capacity":
                          int(os.environ.get("SWEEP_NN_CAP", "32")),
-                     # SWEEP_NORMALS=knn: cross-frame k-NN map normals.
-                     "normals_mode": os.environ.get("SWEEP_NORMALS", "image")}
+                     # SWEEP_NORMALS=image reverts to single-scan normals
+                     # (knn = cross-frame k-NN, the champion default).
+                     "normals_mode": os.environ.get("SWEEP_NORMALS", "knn")}
         scheme, sigma = "neighborhood", 0.2
     else:
         local_map = {"type": "aggregated_local_map", "local_map_size": 20,

@@ -48,4 +48,14 @@ SWEEP_MAP=kdtree SWEEP_BATCH=8 SWEEP_NN=hash \
   timeout 2400 python scripts/dev_sweep_agg.py > $OUT/surfel_hash.txt 2>&1
 grep tr_err $OUT/surfel_hash.txt | tee -a $OUT/log
 
+echo "=== 8. surfel knn-normals champion: speed at 10 gated iters ===" | tee -a $OUT/log
+SWEEP_MAP=kdtree SWEEP_BATCH=8 SWEEP_NN=hash \
+  SWEEP_VARIANTS="i10:10:10:0:0:0.20,i20:20:20:0:0:0.20" \
+  timeout 2400 python scripts/dev_sweep_agg.py > $OUT/surfel_knn.txt 2>&1
+grep tr_err $OUT/surfel_knn.txt | tee -a $OUT/log
+
+echo "=== 9. re-record acceptance fixture (new surfel champion) ===" | tee -a $OUT/log
+timeout 3000 python scripts/record_e2e_ours.py > $OUT/record_e2e.txt 2>&1
+tail -5 $OUT/record_e2e.txt | tee -a $OUT/log
+
 echo "=== DONE ===" | tee -a $OUT/log
