@@ -26,7 +26,11 @@ import numpy as np
 
 REFERENCE_SCANS_PER_SEC = 1000.0 / 187.256  # 5.34 scans/s (BASELINE.md)
 
-NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "57"))
+# 129 frames -> ~116 timed (9-10 batches): the async pipeline keeps ~2
+# batches in flight, so short timed regions bill the fill/drain tail against
+# steady-state throughput (at 57 frames the tail was ~50% of the timed
+# region -- measured 6.9 ms/frame of final_sync on 36 timed frames).
+NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "129"))
 # Batch 12 sweeps best: per-batch stacked transfers must stay <= ~5 MB
 # (the tunnel stalls on ~8 MB transfers: batch 16 x 64k x 8 B collapses
 # from 134 to 96 scans/s); 12 x 64k x 8 B = 6.3 MB still amortizes
@@ -107,8 +111,8 @@ def main():
         # multiple of 1024 (XLA-friendly tiles).
         num_points_padded=int(os.environ.get(
             "BENCH_CAP",
-            "66560" if os.environ.get("BENCH_FORMAT", "rimg8") == "rimg8"
-            else "65536")),
+            "66560" if os.environ.get("BENCH_FORMAT", "rimg8")
+            in ("rimg8", "rimg12") else "65536")),
         data_key="numpy_pc",
         batch_size=BATCH,
         upload_quantization=float(os.environ.get("BENCH_QUANT", "0.0")),
@@ -141,16 +145,30 @@ def main():
     # prefetch thread).
     import queue as _queue
     import threading as _threading
-    prep_q: "_queue.Queue" = _queue.Queue(maxsize=2 * BATCH)
+    # Grid-sample AND upload-encode in prep workers: the encode leg
+    # (~5 ms/frame for the range-image codec) otherwise serializes with
+    # batch flushes.  ONE worker starves the pipeline (measured 6.2 ms/frame
+    # of queue_wait at 16 MB/s tunnel weather); N_PREP strided workers with
+    # round-robin consumption keep frame order while parallelizing the
+    # encode, mirroring the runner's num_workers prefetcher.
+    N_PREP = max(1, int(os.environ.get("BENCH_WORKERS", "3")))
 
-    def _prep_worker(frame_list):
-        # Grid-sample AND upload-encode in the worker: the encode leg
-        # (~3 ms/frame for the range-image codec) otherwise runs on the
-        # main thread, serialized with batch flushes.
-        for f in frame_list:
-            g = grid_sample(f)
-            prep_q.put((g, odom.encode_upload(g)))
-        prep_q.put(None)
+    def _start_prep(frame_list):
+        qs = [_queue.Queue(maxsize=BATCH) for _ in range(N_PREP)]
+
+        def _worker(j):
+            for f in frame_list[j::N_PREP]:
+                g = grid_sample(f)
+                qs[j].put((g, odom.encode_upload(g)))
+
+        for j in range(N_PREP):
+            _threading.Thread(target=_worker, args=(j,), daemon=True).start()
+
+        def _iter():
+            for i in range(len(frame_list)):
+                yield qs[i % N_PREP].get()
+
+        return _iter()
 
     last_rpose = np.eye(4, dtype=np.float32)
 
@@ -182,17 +200,14 @@ def main():
     rates = []
     phase_stats = []  # per-repeat: where the pipeline thread's time went
     for _ in range(repeats):
-        _threading.Thread(target=_prep_worker, args=(bench_frames,),
-                          daemon=True).start()
+        items = _start_prep(bench_frames)
         base = dict(odom.pipe_stats)
         q_wait = 0.0
         t0 = time.perf_counter()
-        while True:
+        for _i in range(len(bench_frames)):
             tq = time.perf_counter()
-            item = prep_q.get()
+            item = next(items)
             q_wait += time.perf_counter() - tq
-            if item is None:
-                break
             run_frame(*item)
         # Dispatch any batch whose upload is still in flight (async-upload
         # pipeline defers each batch's compute by one flush), then force a

@@ -324,6 +324,105 @@ def np_encode_range_image(pts: "np.ndarray", proj: SphericalProjection,
     return out
 
 
+RIMG12_RANGE_STEP = 0.03  # 3 cm -> 12 bits cover 122.8 m (KITTI max ~120 m)
+
+
+def np_encode_rimg12(pts: "np.ndarray", proj: SphericalProjection):
+    """1.5 B/pixel range-image upload: 12-bit ranges + separable planes.
+
+    The rimg8 layout's uint16 ranges carry 2 mm resolution -- far below the
+    ~1-2 cm the registration is sensitive to (the 3 B/pixel rimg format's
+    2.3 cm reconstruction error costs nothing measurable).  rimg12 packs
+    FOUR pixels' 12-bit range steps (3 cm each, +-1.5 cm rounding) into six
+    bytes, then appends the same per-row/per-col 8-bit angular-offset planes
+    as rimg8: (H*W/4 + ceil((H+W)/6), 6) uint8 = **98 KB/frame** at 64x1024,
+    a further 25% tunnel-byte cut over rimg8 on the H2D-bound path.
+
+    Requires H*W % 4 == 0.  Ranges beyond 4095 * 3 cm are dropped (clamping
+    would warp far-field geometry).  Builds on the rimg8 encoder (native C++
+    single-pass when available) and repacks on the host (~0.2 ms vectorized;
+    the double rounding adds <= 1 mm on top of the 1.5 cm step).
+    """
+    import numpy as np
+    h, w = proj.height, proj.width
+    assert (h * w) % 4 == 0, "rimg12 needs H*W divisible by 4"
+    base = np_encode_range_image(pts, proj, planes=True)
+    hw = h * w
+    steps16 = base[:hw, 0].astype(np.uint32) | \
+        (base[:hw, 1].astype(np.uint32) << 8)
+    r = steps16.astype(np.float64) * PACKED_RANGE_STEP
+    steps12 = np.round(r / RIMG12_RANGE_STEP).astype(np.uint32)
+    steps12 = np.where((steps16 > 0) & (steps12 <= 4095),
+                       np.maximum(steps12, 1), 0).astype(np.uint32)
+    quad = steps12.reshape(hw // 4, 4)
+    a, b, c, d = quad[:, 0], quad[:, 1], quad[:, 2], quad[:, 3]
+    pix_rows = np.empty((hw // 4, 6), np.uint8)
+    pix_rows[:, 0] = a & 0xFF
+    pix_rows[:, 1] = (a >> 8) | ((b & 0xF) << 4)
+    pix_rows[:, 2] = b >> 4
+    pix_rows[:, 3] = c & 0xFF
+    pix_rows[:, 4] = (c >> 8) | ((d & 0xF) << 4)
+    pix_rows[:, 5] = d >> 4
+    planes = base[hw:].reshape(-1)[:h + w]  # row means (H) + col means (W)
+    # Tail padded so total rows is a multiple of 256 -> the decoded point
+    # capacity (4 x rows) is 1024-aligned (XLA-friendly scatter tiles;
+    # 66560 at 64x1024, the same cap the rimg8 path uses).
+    total_rows = -(-(hw // 4 + -(-(h + w) // 6)) // 256) * 256
+    tail = np.zeros((total_rows - hw // 4, 6), np.uint8)
+    tail.reshape(-1)[:h + w] = planes
+    return np.concatenate([pix_rows, tail], axis=0)
+
+
+def decode_rimg12(buf: jnp.ndarray, proj: SphericalProjection):
+    """Device-side inverse of ``np_encode_rimg12``.
+
+    Args:
+        buf: (N >= H*W/4 + ceil((H+W)/6), 6) uint8, zero-padded past the
+            tail.  Returns ((N*4, 3) float32 points, (N*4,) bool valid) --
+            the first H*W outputs are the pixels in row-major order, the
+            rest decode the tail/padding and are masked invalid.
+    """
+    h, w = proj.height, proj.width
+    hw = h * w
+    fov_up = proj.up_fov / 180.0 * math.pi
+    fov_down = proj.down_fov / 180.0 * math.pi
+    fov = abs(fov_down) + abs(fov_up)
+
+    b = buf.astype(jnp.int32)
+    quad = jnp.stack([
+        b[:, 0] | ((b[:, 1] & 0xF) << 8),
+        (b[:, 1] >> 4) | (b[:, 2] << 4),
+        b[:, 3] | ((b[:, 4] & 0xF) << 8),
+        (b[:, 4] >> 4) | (b[:, 5] << 4),
+    ], axis=-1)  # (N, 4) 12-bit range steps
+    steps = quad.reshape(-1)  # (N*4,)
+    n = steps.shape[0]
+    pix = jnp.arange(n, dtype=jnp.int32)
+    valid = (steps > 0) & (pix < hw)
+
+    tail = jax.lax.dynamic_slice_in_dim(
+        buf, hw // 4, -(-(h + w) // 6), axis=0).reshape(-1)
+    rowq = tail[:h].astype(jnp.float32)
+    colq = tail[h:h + w].astype(jnp.float32)
+    pixc = pix % hw
+    qt = jnp.take(colq, pixc % w)
+    qp = jnp.take(rowq, pixc // w)
+
+    pw = 2.0 * math.pi / w
+    ph = fov / h
+    row = (pixc // w).astype(jnp.float32)
+    col = (pixc % w).astype(jnp.float32)
+    theta = (2.0 * col / w - 1.0) * math.pi + ((qt + 0.5) / 256.0 - 0.53) * pw
+    phi = (1.0 - row / h) * fov - abs(fov_down) + \
+        ((qp + 0.5) / 256.0 - 0.47) * ph
+    r = steps.astype(jnp.float32) * RIMG12_RANGE_STEP
+    cos_phi = jnp.cos(phi)
+    pts = jnp.stack([r * cos_phi * jnp.cos(theta),
+                     -r * cos_phi * jnp.sin(theta),
+                     r * jnp.sin(phi)], axis=-1)
+    return jnp.where(valid[:, None], pts, 0.0), valid
+
+
 def decode_range_image(buf: jnp.ndarray, proj: SphericalProjection,
                        range_step: float = PACKED_RANGE_STEP):
     """Device-side inverse of ``np_encode_range_image``.

@@ -124,8 +124,13 @@ class ICPFrameToModelConfig(OdometryConfig):
     # fixed-shape format), or "rimg8" (2 B/pixel ranges + per-row/per-col
     # 8-bit mean angular offset planes, 131 KB/frame at 64x1024: exact on
     # regular firing patterns, drops per-pixel azimuth jitter on real
-    # sensors).  packed needs H*W <= 65536; rimg/rimg16 need
-    # num_points_padded >= H*W (rimg8: + (H+W)/2 plane rows).  All apply to aggregated/kdtree modes.
+    # sensors).  "rimg12" packs FOUR pixels' 12-bit range steps (3 cm,
+    # +-1.5 cm rounding) per 6-byte row + the rimg8 planes: 98 KB/frame at
+    # 64x1024, the fewest-bytes format for the H2D-bound tunnel path.
+    # packed needs H*W <= 65536; rimg/rimg16 need num_points_padded >= H*W
+    # (rimg8: + (H+W)/2 plane rows; rimg12: num_points_padded must equal
+    # 4 x the encoded row count -- the buffer IS its full static shape).
+    # All apply to aggregated/kdtree modes.
     upload_format: str = "f32"
     # Aggregated-map mode: frames per device execution (lax.scan).  B > 1
     # amortizes dispatch overhead; constant-velocity priors then chain on
@@ -511,6 +516,16 @@ class ICPFrameToModel:
         """
         cap = self.config.num_points_padded
         fmt = str(self.config.upload_format or "f32")
+        if fmt == "rimg12":
+            # 1.5 B/pixel: the buffer IS its full static shape (4 px/row),
+            # so no device-side padding happens -- num_points_padded must
+            # equal the decoded point count (4 x rows).
+            from pylidar_slam_tpu.ops import projection as proj_ops
+            buf = proj_ops.np_encode_rimg12(arr[:, :3], self.projector)
+            assert_debug(cap == 4 * buf.shape[0],
+                         f"rimg12 upload needs num_points_padded == "
+                         f"{4 * buf.shape[0]} (4 x encoded rows; got {cap})")
+            return buf
         if fmt in ("rimg", "rimg16", "rimg8"):
             # Fixed-shape range image: the z-buffer IS the capacity bound
             # (1 point/pixel), so no overflow drop is ever needed.  No NaN
@@ -588,6 +603,8 @@ class ICPFrameToModel:
         rows = int(dev.shape[0])
         if rows >= cap:
             return dev
+        if dev.dtype == jnp.uint8 and int(dev.shape[-1]) == 6:
+            return dev  # rimg12: already its full static shape (4 px/row)
         cols = int(dev.shape[1])
         key = (rows, cols, str(dev.dtype))
         fn = self._device_pad_cache.get(key)
@@ -609,6 +626,8 @@ class ICPFrameToModel:
         b, rows, cols = int(dev.shape[0]), int(dev.shape[1]), int(dev.shape[2])
         if rows >= cap:
             return dev
+        if dev.dtype == jnp.uint8 and cols == 6:
+            return dev  # rimg12: already its full static shape (4 px/row)
         key = (b, rows, cols, str(dev.dtype))
         fn = self._device_pad_cache.get(key)
         if fn is None:
@@ -890,7 +909,10 @@ class ICPFrameToModel:
         map_state = self._map_state
         cap = self.config.num_points_padded
         fmt = str(self.config.upload_format or "f32")
-        if fmt in ("rimg", "rimg16", "rimg8"):
+        rows = cap
+        if fmt == "rimg12":
+            dtype, ncols, rows = jnp.uint8, 6, cap // 4
+        elif fmt in ("rimg", "rimg16", "rimg8"):
             dtype, ncols = jnp.uint8, {"rimg": 3, "rimg16": 4,
                                        "rimg8": 2}[fmt]
         elif fmt == "packed" and \
@@ -904,7 +926,7 @@ class ICPFrameToModel:
         def warm():
             try:
                 eye = jnp.eye(4, dtype=jnp.float32)
-                pts = jnp.zeros((cap, ncols), dtype)
+                pts = jnp.zeros((rows, ncols), dtype)
                 msk = jnp.ones((cap,), bool)
                 # A real call on a THROWAWAY copy populates the jit cache
                 # (map_state arg is donated, so pass a fresh tree copy).

@@ -152,7 +152,10 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
         device-side validity of the zero padding (the host never uploads the
         mask -- ICPFrameToModel._compact_upload)."""
         if points.dtype == jnp.uint8:
-            points, pvalid = projection.decode_range_image(points, proj)
+            if points.shape[-1] == 6:  # rimg12: 4 px/row, mask-sized output
+                points, pvalid = projection.decode_rimg12(points, proj)
+            else:
+                points, pvalid = projection.decode_range_image(points, proj)
             return points, mask & pvalid
         if points.dtype == jnp.uint16:
             points, pvalid = projection.decode_packed_upload(points, proj)

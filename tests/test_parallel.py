@@ -127,7 +127,7 @@ def test_surfel_shard_points_matches_single_device():
     frames = [np.asarray(seq[i]["numpy_pc"], np.float32) for i in range(6)]
     proj = SphericalProjection(32, 256, 3.0, -24.0)
 
-    def run(shard, nn_backend="exact"):
+    def run(shard, nn_backend="exact", normals="image"):
         icp = ICPFrameToModelConfig(
             max_num_alignments=6,
             local_map={"type": "kdtree_local_map", "local_map_size": 4,
@@ -136,7 +136,13 @@ def test_surfel_shard_points_matches_single_device():
                        # hash NN is exactly brute-force-within-the-gate and
                        # the trajectories must agree to reduction order.
                        "nn_backend": nn_backend, "hash_capacity": 256,
-                       "hash_buckets": 1024},
+                       "hash_buckets": 1024,
+                       # Strict sharded-vs-single equivalence needs the
+                       # tie-break-free image normals: knn normals flip a
+                       # neighbor under psum reduction-order drift, which the
+                       # ICP feedback loop amplifies past any tight atol
+                       # (knn mode is checked separately, trajectory-level).
+                       "normals_mode": normals},
             num_points_padded=8192, data_key="numpy_pc",
             shard_points=shard)
         odom = ICPFrameToModel(icp, projector=proj)
@@ -160,3 +166,9 @@ def test_surfel_shard_points_matches_single_device():
     poses_hash8 = run(8, nn_backend="hash")
     np.testing.assert_allclose(poses_hash8, poses_hash1, atol=5e-4)
     np.testing.assert_allclose(poses_hash1, poses1, atol=2e-2)
+    # knn normals (the accuracy default): sharded still tracks the same
+    # trajectory, but only to a trajectory-level tolerance -- the k-NN
+    # neighbor sets tie-break on psum reduction order.
+    poses_knn1 = run(0, normals="knn")
+    poses_knn8 = run(8, normals="knn")
+    np.testing.assert_allclose(poses_knn8, poses_knn1, atol=3e-2)

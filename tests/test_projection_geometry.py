@@ -313,3 +313,39 @@ def test_range_image_planes_roundtrip():
         from scipy.spatial import cKDTree
         d, _ = cKDTree(pts).query(dec[valid], k=1)
         assert d.max() < 0.02, (use_native, d.max())
+
+
+def test_rimg12_roundtrip():
+    """rimg12 (1.5 B/pixel: 12-bit range steps, 4 px per 6-byte row + the
+    rimg8 angular plane tail): reconstruction within the 1.5 cm range
+    rounding + plane-mean angular error on a separable firing pattern."""
+    rng = np.random.default_rng(5)
+    proj = projection.SphericalProjection(64, 1024, 3.0, -24.0)
+    h, w = 64, 1024
+    fov = np.radians(3.0) + np.radians(24.0)
+    row_off = rng.uniform(-0.4, 0.4, h)
+    col_off = rng.uniform(-0.4, 0.4, w)
+    rows = np.repeat(np.arange(h), w)
+    cols = np.tile(np.arange(w), h)
+    theta = (2.0 * cols / w - 1.0) * np.pi + col_off[cols] * (2 * np.pi / w)
+    phi = (1.0 - rows / h) * fov - np.radians(24.0) + row_off[rows] * (fov / h)
+    r = rng.uniform(2.0, 110.0, h * w)
+    pts = np.stack([r * np.cos(phi) * np.cos(theta),
+                    -r * np.cos(phi) * np.sin(theta),
+                    r * np.sin(phi)], -1).astype(np.float32)
+
+    buf = projection.np_encode_rimg12(pts, proj)
+    # rows padded to a multiple of 256 -> decoded capacity is 1024-aligned
+    assert buf.shape == (16640, 6) and buf.dtype == np.uint8
+    assert buf.nbytes < 100_000  # 98 KB/frame, 25% under rimg8's 132 KB
+
+    dec, valid = projection.decode_rimg12(jnp.asarray(buf), proj)
+    dec, valid = np.asarray(dec), np.asarray(valid)
+    assert dec.shape == (66560, 3)
+    assert valid.sum() > 0.9 * h * w, valid.sum()
+    assert not valid[h * w:].any()  # tail/padding decodes as invalid
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(pts).query(dec[valid], k=1)
+    # 1.5 cm range rounding + ~1/256 px plane-mean angular at <= 110 m
+    assert d.max() < 0.035, d.max()
+    assert np.median(d) < 0.012, np.median(d)
