@@ -112,10 +112,41 @@ class BEVRegistrationResult(NamedTuple):
 
 def register_bev(img_a: jnp.ndarray, img_b: jnp.ndarray,
                  num_yaw_steps: int = 60,
-                 yaw_range: float = math.pi) -> BEVRegistrationResult:
+                 yaw_range: float = math.pi,
+                 coarse_factor: int = 2) -> BEVRegistrationResult:
     """Finds (yaw, dy, dx) aligning img_b to img_a by exhaustive yaw sweep +
-    phase correlation per candidate (vmapped: one batched FFT stack)."""
+    phase correlation per candidate (vmapped: one batched FFT stack).
+
+    `coarse_factor` > 1 runs the yaw SWEEP on `factor`x average-pooled
+    images and re-scores only the top-8 coarse yaws at full resolution (the
+    coarse peak ordering is noisy at the margin but the true yaw reliably
+    lands in the top few) -- a ~factor^2 cut of the dominant rotate+FFT
+    stack at unchanged match decisions."""
     yaws = jnp.linspace(-yaw_range, yaw_range, num_yaw_steps, endpoint=False)
+
+    if coarse_factor > 1 and img_a.shape[0] % coarse_factor == 0 \
+            and num_yaw_steps > 8:
+        f = coarse_factor
+        s = img_a.shape[0]
+        small_a = img_a.reshape(s // f, f, s // f, f).mean(axis=(1, 3))
+        small_b = img_b.reshape(s // f, f, s // f, f).mean(axis=(1, 3))
+
+        def try_yaw_coarse(yaw):
+            rotated = _rotate_image(small_b, yaw)
+            _, _, score = phase_correlation(small_a, rotated)
+            return score
+
+        coarse = jax.vmap(try_yaw_coarse)(yaws)
+        _, top_idx = jax.lax.top_k(coarse, 8)
+
+        def try_yaw_full(yaw):
+            rotated = _rotate_image(img_b, yaw)
+            return phase_correlation(img_a, rotated)
+
+        dys, dxs, scores = jax.vmap(try_yaw_full)(yaws[top_idx])
+        best = jnp.argmax(scores)
+        return BEVRegistrationResult(yaw=yaws[top_idx[best]], dy=dys[best],
+                                     dx=dxs[best], score=scores[best])
 
     def try_yaw(yaw):
         rotated = _rotate_image(img_b, yaw)

@@ -41,13 +41,18 @@ def main():
     loader = SyntheticDatasetLoader(SyntheticConfig(
         lidar_height=64, lidar_width=1024, num_frames=FRAMES,
         num_walls=40, num_pillars=25, speed=SPEED))
-    seq = loader.sequences()[0][0][0]
+    lazy_seq = loader.sequences()[0][0][0]
+    # Pre-materialize: the synthetic raycaster costs ~290 ms/frame -- lazily
+    # generating inside the timed loop measures the data GENERATOR, not the
+    # pipeline (a disk-backed dataset reads frames in ~1 ms).  This exact
+    # mistake capped earlier full-pipeline numbers at ~3 scans/s.
+    seq = [dict(lazy_seq[i]) for i in range(FRAMES)]
 
     config_dir = _P(__file__).parent.parent / "config"
     cfg = compose(str(config_dir), "slam", [
         "dataset=synthetic",
-        "slam/loop_closure=elevation_image",
-        "slam/backend=graph_slam",
+        f"slam/loop_closure={os.environ.get('FP_LC', 'elevation_image')}",
+        f"slam/backend={os.environ.get('FP_BACKEND', 'graph_slam')}",
         "slam/odometry/local_map=aggregated",
         "slam.odometry.local_map.max_neighbor_dist=0.6",
         f"slam.odometry.batch_size={BATCH}",
@@ -78,15 +83,24 @@ def main():
     threading.Thread(target=producer, daemon=True).start()
 
     t_mark = None
+    t_qget = t_proc = 0.0
     for i in range(len(seq)):
+        tq = time.time()
         frame = q.get()
+        tp = time.time()
         slam.process_next_frame(frame)
+        tdone = time.time()
+        if t_mark is not None:
+            t_qget += tp - tq
+            t_proc += tdone - tp
         if i + 1 == WARMUP:
             t_mark = time.time()
             n_odo = len(slam.elapsed_odometry)
             n_lc = len(slam.elapsed_loop_closure)
             n_be = len(slam.elapsed_backend)
+    t_fin = time.time()
     slam.finish()
+    t_finish = time.time() - t_fin
     elapsed = time.time() - t_mark
     timed = FRAMES - WARMUP
     rate = timed / elapsed
@@ -114,6 +128,11 @@ def main():
                                  / n_fl, 2),
             "dispatch": round(1e3 * pipe.get("dispatch_s", 0.0) / n_fl, 2),
         },
+        # Timed-loop decomposition: producer starvation vs in-order
+        # processing vs the final drain (all inside `elapsed`).
+        "loop_ms_per_frame": {"qget": round(1e3 * t_qget / timed, 2),
+                              "process": round(1e3 * t_proc / timed, 2),
+                              "finish_total_s": round(t_finish, 2)},
     }))
 
 
