@@ -26,11 +26,13 @@ import numpy as np
 
 REFERENCE_SCANS_PER_SEC = 1000.0 / 187.256  # 5.34 scans/s (BASELINE.md)
 
-# 129 frames -> ~116 timed (9-10 batches): the async pipeline keeps ~2
+# 253 frames -> 240 timed (20 batches at batch 12; warmup is BATCH+1, and
+# the timed region trims to whole batches): the async pipeline keeps ~2-3
 # batches in flight, so short timed regions bill the fill/drain tail against
 # steady-state throughput (at 57 frames the tail was ~50% of the timed
-# region -- measured 6.9 ms/frame of final_sync on 36 timed frames).
-NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "129"))
+# region; at 129 frames / 108 timed it was still ~2.5 ms/frame of
+# final_sync -- measured round-4).
+NUM_FRAMES = int(os.environ.get("BENCH_FRAMES", "253"))
 # Batch 12 sweeps best: per-batch stacked transfers must stay <= ~5 MB
 # (the tunnel stalls on ~8 MB transfers: batch 16 x 64k x 8 B collapses
 # from 134 to 96 scans/s); 12 x 64k x 8 B = 6.3 MB still amortizes
@@ -157,16 +159,25 @@ def main():
         qs = [_queue.Queue(maxsize=BATCH) for _ in range(N_PREP)]
 
         def _worker(j):
-            for f in frame_list[j::N_PREP]:
-                g = grid_sample(f)
-                qs[j].put((g, odom.encode_upload(g)))
+            # Exceptions propagate to the consumer as a marker tuple; a bare
+            # worker death would leave the consumer blocked on .get() forever.
+            try:
+                for f in frame_list[j::N_PREP]:
+                    g = grid_sample(f)
+                    qs[j].put((g, odom.encode_upload(g)))
+            except BaseException as exc:  # noqa: BLE001 - re-raised in _iter
+                qs[j].put(("__prep_error__", exc))
 
         for j in range(N_PREP):
             _threading.Thread(target=_worker, args=(j,), daemon=True).start()
 
         def _iter():
             for i in range(len(frame_list)):
-                yield qs[i % N_PREP].get()
+                item = qs[i % N_PREP].get()
+                if isinstance(item, tuple) and len(item) == 2 and \
+                        isinstance(item[0], str) and item[0] == "__prep_error__":
+                    raise item[1]
+                yield item
 
         return _iter()
 

@@ -270,42 +270,77 @@ int encode_range_image(const float* pts, int n, int h, int w,
         int32_t* bidx = idx_t + static_cast<size_t>(tid) * hw;
         int lo = static_cast<int>(static_cast<int64_t>(n) * tid / nt);
         int hi = static_cast<int>(static_cast<int64_t>(n) * (tid + 1) / nt);
-        for (int i = lo; i < hi; ++i) {
-            float x = pts[3 * i], y = pts[3 * i + 1], z = pts[3 * i + 2];
-            if (std::isnan(x) || std::isnan(y) || std::isnan(z)) continue;
-            float r = std::sqrt(x * x + y * y + z * z);
-            if (r <= 0.0f) continue;
-            // cap at 65534: 0xffff is the empty sentinel in the z-buffer
-            float steps_f = r * inv_step;
-            if (steps_f >= 65534.0f) continue;
-            uint16_t steps = static_cast<uint16_t>(steps_f + 0.5f);
-            if (steps < 1) steps = 1;
 
-            float theta = -fast_atan2f(y, x);
-            float phi = fast_asinf(z / r);
-            thetas[i] = theta;
-            phis[i] = phi;
-            float colf = (theta + pi) * half_w;
-            float rowf = (fov - (phi + abs_down)) * inv_fov_h;
-            // (int) truncates toward zero: guard the negative side so rows
-            // below -0.5 don't alias into row 0.
-            if (rowf < -0.53f || rowf >= static_cast<float>(h) - 0.53f)
-                continue;
-            // +0.03 px tie-break bias: scan patterns whose beams sit exactly
-            // on the half-pixel rounding boundary otherwise flip direction
-            // per beam on sub-pixel angular noise, z-buffer-colliding ~24%
-            // of a 64x1024 scan into shared pixels.  The bias exceeds the
-            // polynomial atan2/asin jitter, making boundary rounding
-            // deterministic; the sub-pixel offset field absorbs it.
-            int row = static_cast<int>(rowf + 0.53f);
-            int col = static_cast<int>(colf + 0.53f);  // colf in (0, w]
-            if (col >= w) col -= w;  // seam wraps to column 0
-
-            int pix = row * w + col;
-            if (steps < best[pix] ||
-                (steps == best[pix] && i < bidx[pix])) {
-                best[pix] = steps;
-                bidx[pix] = i;
+        // Two-pass blocks: pass A is BRANCHLESS (every conditional is a
+        // select) so the compiler auto-vectorizes the transcendental math
+        // (AVX-512: 16 points/iteration -- the encode was the single-core
+        // host pipeline's bottleneck at ~2.6 ms/scan, and the math is ~80%
+        // of it); pass B is the serial data-dependent z-buffer scatter.
+        constexpr int BLK = 2048;
+        int32_t pixbuf[BLK];
+        uint16_t stepbuf[BLK];
+        for (int base = lo; base < hi; base += BLK) {
+            const int m = (hi - base) < BLK ? (hi - base) : BLK;
+            const float* __restrict__ p = pts + static_cast<size_t>(3) * base;
+            float* __restrict__ th_out = thetas + base;
+            float* __restrict__ ph_out = phis + base;
+            int32_t* __restrict__ pix_out = pixbuf;
+            uint16_t* __restrict__ step_out = stepbuf;
+#if defined(__GNUC__)
+#pragma GCC ivdep
+#endif
+            for (int k = 0; k < m; ++k) {
+                float x = p[3 * k], y = p[3 * k + 1], z = p[3 * k + 2];
+                // NaN scrub without branches: comparisons with NaN are
+                // false, so `finite` masks the emit below.
+                bool finite = (x == x) & (y == y) & (z == z);
+                float r = std::sqrt(x * x + y * y + z * z);
+                float r_safe = r > 0.0f ? r : 1.0f;
+                // branchless atan2 (same polynomial/error as fast_atan2f)
+                float ax = std::fabs(x), ay = std::fabs(y);
+                float mn = ax < ay ? ax : ay;
+                float mx = ax < ay ? ay : ax;
+                float a = fast_atan01(mn / (mx > 0.0f ? mx : 1.0f));
+                a = ay > ax ? 1.5707963268f - a : a;
+                a = x < 0.0f ? 3.1415926536f - a : a;
+                a = y < 0.0f ? -a : a;
+                float theta = -a;
+                float phi = fast_asinf(z / r_safe);
+                thetas[base + k] = theta;
+                phis[base + k] = phi;
+                float colf = (theta + pi) * half_w;
+                float rowf = (fov - (phi + abs_down)) * inv_fov_h;
+                // cap at 65534: 0xffff is the empty sentinel in the z-buffer
+                float steps_f = r * inv_step;
+                bool ok = finite & (r > 0.0f) & (steps_f < 65534.0f) &
+                          // (int) truncates toward zero: guard the negative
+                          // side so rows below -0.5 don't alias into row 0
+                          (rowf >= -0.53f) &
+                          (rowf < static_cast<float>(h) - 0.53f);
+                // +0.03 px tie-break bias: beams sitting exactly on the
+                // half-pixel rounding boundary otherwise flip per beam on
+                // sub-pixel angular noise, z-buffer-colliding ~24% of a
+                // 64x1024 scan; the bias exceeds the polynomial jitter and
+                // the sub-pixel offset field absorbs it.
+                int row = static_cast<int>(rowf + 0.53f);
+                int col = static_cast<int>(colf + 0.53f);  // colf in (0, w]
+                col = col >= w ? col - w : col;  // seam wraps to column 0
+                float sf = steps_f < 65534.0f ? steps_f : 65534.0f;
+                int st = static_cast<int>(sf + 0.5f);
+                st = st < 1 ? 1 : st;
+                pix_out[k] = ok ? row * w + col : -1;
+                step_out[k] = static_cast<uint16_t>(st);
+            }
+            for (int k = 0; k < m; ++k) {
+                int pix = pixbuf[k];
+                if (pix < 0) continue;
+                uint16_t steps = stepbuf[k];
+                int i = base + k;
+                if (steps < best[pix] ||
+                    (steps == best[pix] && i < bidx[pix])) {
+                    best[pix] = steps;
+                    bidx[pix] = i;
+                }
             }
         }
     }

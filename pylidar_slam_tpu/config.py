@@ -290,7 +290,17 @@ class ConfigLoader:
                 worklist.append((full, sub_opt))
 
         for group in group_choices:
-            _deep_set(cfg, group.replace("/", "."), loaded_nodes[group])
+            path = group.replace("/", ".")
+            node = loaded_nodes[group]
+            existing = _deep_get(cfg, path, None)
+            if isinstance(existing, dict) and isinstance(node, dict):
+                # hydra semantics: a parent option file's INLINE keys for a
+                # subgroup (e.g. ct_icp_robust_drive.yaml carrying
+                # `local_map: {max_neighbor_dist_start: 3.0}` next to a
+                # defaults-list local_map choice) override the subgroup
+                # file's values -- the primary content merges after defaults.
+                node = _deep_merge(node, existing)
+            _deep_set(cfg, path, node)
 
         # 2. the root file's own content merges on top of group defaults
         cfg = _deep_merge(cfg, raw)

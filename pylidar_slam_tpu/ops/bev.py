@@ -113,7 +113,7 @@ class BEVRegistrationResult(NamedTuple):
 def register_bev(img_a: jnp.ndarray, img_b: jnp.ndarray,
                  num_yaw_steps: int = 60,
                  yaw_range: float = math.pi,
-                 coarse_factor: int = 2) -> BEVRegistrationResult:
+                 coarse_factor: int = 1) -> BEVRegistrationResult:
     """Finds (yaw, dy, dx) aligning img_b to img_a by exhaustive yaw sweep +
     phase correlation per candidate (vmapped: one batched FFT stack).
 
@@ -121,10 +121,14 @@ def register_bev(img_a: jnp.ndarray, img_b: jnp.ndarray,
     images and re-scores only the top-8 coarse yaws at full resolution (the
     coarse peak ordering is noisy at the margin but the true yaw reliably
     lands in the top few) -- a ~factor^2 cut of the dominant rotate+FFT
-    stack at unchanged match decisions."""
+    stack.  Default 1 (exact full sweep): the top-8 rescore can in principle
+    miss the true yaw on low-texture BEV images, so callers opt in where the
+    trade was validated (loop-closure candidate matching)."""
     yaws = jnp.linspace(-yaw_range, yaw_range, num_yaw_steps, endpoint=False)
 
-    if coarse_factor > 1 and img_a.shape[0] % coarse_factor == 0 \
+    if coarse_factor > 1 and img_a.ndim == 2 \
+            and img_a.shape[0] == img_a.shape[1] \
+            and img_a.shape[0] % coarse_factor == 0 \
             and num_yaw_steps > 8:
         f = coarse_factor
         s = img_a.shape[0]

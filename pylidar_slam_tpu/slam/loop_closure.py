@@ -101,7 +101,7 @@ class ElevationImageLoopClosure(LoopClosure):
         """Background-compiles the match path (batched BEV registration +
         ICP refine) at init: its first-use compile otherwise stalls the
         pipeline ~30 s right when the first loop candidate appears mid-run."""
-        import threading
+        from pylidar_slam_tpu.utils.prewarm import start_prewarm
         cfg = self.config
 
         def warm():
@@ -117,7 +117,7 @@ class ElevationImageLoopClosure(LoopClosure):
                 self._build_image(np.zeros((1, 3), np.float32))
             except Exception:
                 pass  # best-effort
-        threading.Thread(target=warm, daemon=True).start()
+        start_prewarm(warm, name="lc-prewarm")
 
     @property
     def _match_batch_fn(self):
@@ -137,8 +137,13 @@ class ElevationImageLoopClosure(LoopClosure):
                         sm_cloud, sm_mask):
             def one(args):
                 ci, cc, cm = args
+                # coarse_factor=2 is the validated loop-closure speed trade
+                # (square im_size BEV images, yaw sweep on pooled images +
+                # top-8 full-res rescore); register_bev itself defaults to
+                # the exact full sweep.
                 res = bev.register_bev(ci, image,
-                                       num_yaw_steps=cfg.num_yaw_steps)
+                                       num_yaw_steps=cfg.num_yaw_steps,
+                                       coarse_factor=2)
                 t = bev.bev_transform_to_se3(res, cfg.pixel_size)
                 if cfg.with_icp_refinement:
                     refined = icp3d.icp_align(

@@ -289,20 +289,25 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
         """Expands compact uploads (range-image uint8 / packed uint16 /
         int16-quantized) to float32 meters and derives the validity of the
         zero padding on device (the host never uploads the mask -- see
-        ICPFrameToModel._compact_upload)."""
+        ICPFrameToModel._compact_upload).
+
+        Third return is a trace-time constant: True when the decoded points
+        are PIXEL-ORDERED (row-major, one point per image pixel) -- range
+        image formats decode straight into grid order, letting the insert
+        path reshape instead of re-rasterizing the scan."""
         if points.dtype == jnp.uint8:
             if points.shape[-1] == 6:  # rimg12: 4 px/row, mask-sized output
                 points, pvalid = projection.decode_rimg12(points, proj)
             else:
                 points, pvalid = projection.decode_range_image(points, proj)
-            return points, mask & pvalid
+            return points, mask & pvalid, True
         if points.dtype == jnp.uint16:
             points, pvalid = projection.decode_packed_upload(points, proj)
-            return points, mask & pvalid
+            return points, mask & pvalid, False
         if points.dtype == jnp.int16:
             points = points.astype(jnp.float32) * upload_quantization
         mask = mask & (jnp.max(jnp.abs(points), axis=-1) > 0)
-        return points, mask
+        return points, mask, False
 
     def register(state: AggMapState, tgt_pts: jnp.ndarray,
                  tgt_mask: jnp.ndarray, t_init: jnp.ndarray,
@@ -464,7 +469,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
              points: jnp.ndarray, mask: jnp.ndarray, init_rpose: jnp.ndarray):
         """Full frame: register + thresholded insert.  Returns
         (state', delta', rpose, pose_params, diagnostics)."""
-        points, mask = dequant(points, mask)
+        points, mask, pixel_ordered = dequant(points, mask)
         if elastic:
             # Elastic registration re-warps from the current iterate inside
             # register(); only the per-point fractions are fixed here.
@@ -505,7 +510,15 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                 ins = jnp.where(mask[:, None], ins, 0.0)
             else:
                 ins = points
-            vmap, nmap, rimg = build_scan_images(ins, mask, proj, nks)
+            if pixel_ordered and not (elastic or deskew):
+                # Range-image uploads decode in row-major pixel order: the
+                # scan's vertex map is a plain reshape -- skip the z-buffer
+                # re-rasterization (one point per pixel, no collisions).
+                vmap = ins[: h * w].reshape(h, w, 3)
+                rimg = jnp.linalg.norm(vmap, axis=-1)
+                nmap = geometry.compute_normal_map(vmap, nks)
+            else:
+                vmap, nmap, rimg = build_scan_images(ins, mask, proj, nks)
             # new anchor = the new frame; old anchor -> new frame transform:
             new_from_old = se3.inverse_pose_matrix(t_final[None])[0]
             return insert_scan(st, vmap, nmap, rimg, new_from_old, proj, max_age)
@@ -518,8 +531,13 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
         return state, delta_out, rpose, pose_params, (loss, it, matches, insert)
 
     def first_frame(state: AggMapState, points: jnp.ndarray, mask: jnp.ndarray):
-        points, mask = dequant(points, mask)
-        vmap, nmap, rimg = build_scan_images(points, mask, proj, nks)
+        points, mask, pixel_ordered = dequant(points, mask)
+        if pixel_ordered:
+            vmap = points[: h * w].reshape(h, w, 3)
+            rimg = jnp.linalg.norm(vmap, axis=-1)
+            nmap = geometry.compute_normal_map(vmap, nks)
+        else:
+            vmap, nmap, rimg = build_scan_images(points, mask, proj, nks)
         return insert_scan(state, vmap, nmap, rimg,
                            jnp.eye(4, dtype=points.dtype), proj, max_age)
 

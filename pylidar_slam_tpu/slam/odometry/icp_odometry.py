@@ -93,6 +93,15 @@ class ICPFrameToModelConfig(OdometryConfig):
     data_key: str = "vertex_map"
     viz_debug: bool = False
 
+    # Continuous-time pose surface (elastic/CT-ICP mode only; reference
+    # ct_icp_odometry.py:173, 326-336): which per-frame pose the odometry
+    # reports.  The elastic warp models scan k's sweep motion as the
+    # frame-to-frame motion rpose_k (constant velocity within the scan), so
+    # begin/mid/end poses are begin_k, begin_k @ rpose_k^0.5 and
+    # begin_k @ rpose_k -- derived on host from the float64 pose ledger.
+    # Empty/"begin_pose" keeps the scan-start pose (the rigid-mode output).
+    pose_type: str = ""
+
     # TPU-specific: static padded point capacity for raw point-cloud inputs.
     num_points_padded: int = 131072
     # Aggregated-map mode: re-rasterize the target every N ICP iterations.
@@ -292,6 +301,7 @@ class ICPFrameToModel:
         align_cfg = config.alignment if isinstance(config.alignment, dict) else {}
         gn_cfg = dataclass_from_dict(
             GaussNewtonConfig, align_cfg.get("gauss_newton_config", {}))
+        self._elastic = bool(align_cfg.get("elastic", False))
 
         fmt = str(config.upload_format or "f32")
         assert_debug(
@@ -904,7 +914,7 @@ class ICPFrameToModel:
         if getattr(self, "_prewarmed", False):
             return
         self._prewarmed = True
-        import threading
+        from pylidar_slam_tpu.utils.prewarm import start_prewarm
 
         map_state = self._map_state
         cap = self.config.num_points_padded
@@ -934,7 +944,7 @@ class ICPFrameToModel:
                 self._step(state, eye, pts, msk, eye)
             except Exception:
                 pass  # prewarm is best-effort
-        threading.Thread(target=warm, daemon=True).start()
+        start_prewarm(warm, name="icp-prewarm")
 
     def fetch_params_log(self) -> Optional[np.ndarray]:
         """One batched device->host fetch of all logged pose params (T, 6)."""
@@ -954,7 +964,28 @@ class ICPFrameToModel:
         # float64 pose matrices on host, kept float64 end-to-end (reference
         # keeps a float64 absolute ledger, slam.py:142-144; relative matrices
         # are rebuilt exactly from the float32 params the device solved for).
-        return np.stack([_pose_matrix_f64(p) for p in params])
+        rel = np.stack([_pose_matrix_f64(p) for p in params])
+        pose_type = str(getattr(self.config, "pose_type", "") or "")
+        if self._elastic and pose_type in ("mid_pose", "end_pose"):
+            return _ct_relative_poses(rel,
+                                      0.5 if pose_type == "mid_pose" else 1.0)
+        return rel
+
+    def get_ct_relative_poses(self, pose_type: str = "mid_pose") \
+            -> Optional[np.ndarray]:
+        """Continuous-time pose surface: per-frame relative poses between
+        consecutive begin / mid / end scan poses (reference
+        ct_icp_odometry.py:326-336).  Valid for any mode; in rigid modes the
+        within-scan motion model still uses the frame-to-frame estimate."""
+        params = self.fetch_params_log()
+        if params is None:
+            return None
+        rel = np.stack([_pose_matrix_f64(p) for p in params])
+        if pose_type == "begin_pose":
+            return rel
+        assert_debug(pose_type in ("mid_pose", "end_pose"),
+                     f"Unknown pose_type '{pose_type}'")
+        return _ct_relative_poses(rel, 0.5 if pose_type == "mid_pose" else 1.0)
 
     @property
     def absolute_poses(self) -> list:
@@ -966,6 +997,49 @@ class ICPFrameToModel:
         for p in params[1:]:
             out.append(out[-1] @ _pose_matrix_f64(p))
         return out
+
+
+def _pose_fraction_f64(mat: np.ndarray, frac: float) -> np.ndarray:
+    """Geodesic fraction of an SE(3) matrix (float64 host): axis-angle
+    rotation scaling + translation lerp -- the same interpolation the
+    device-side elastic warp applies per point (se3.interpolate_pose)."""
+    r = mat[:3, :3]
+    cos = np.clip((np.trace(r) - 1.0) / 2.0, -1.0, 1.0)
+    ang = float(np.arccos(cos))
+    out = np.eye(4)
+    if ang < 1e-12:
+        out[:3, :3] = np.eye(3) + frac * (r - np.eye(3))
+    else:
+        axis = np.array([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0],
+                         r[1, 0] - r[0, 1]]) / (2.0 * np.sin(ang))
+        a = ang * frac
+        k = np.array([[0.0, -axis[2], axis[1]],
+                      [axis[2], 0.0, -axis[0]],
+                      [-axis[1], axis[0], 0.0]])
+        out[:3, :3] = np.eye(3) + np.sin(a) * k + (1.0 - np.cos(a)) * (k @ k)
+    out[:3, 3] = frac * mat[:3, 3]
+    return out
+
+
+def _ct_relative_poses(rel_begin: np.ndarray, frac: float) -> np.ndarray:
+    """Relative poses between consecutive mid/end scan poses.
+
+    Scan k's within-sweep motion is modeled as its frame-to-frame motion
+    rel_begin[k] (the constant-velocity warp the elastic ICP converged
+    under, aggregated_map.py::rasterize_target), so the absolute pose at
+    sweep fraction `frac` is abs_begin_k @ fraction(rel_begin[k], frac).
+    """
+    n = rel_begin.shape[0]
+    out = np.empty_like(rel_begin)
+    prev_abs_f = None
+    abs_begin = np.eye(4)
+    for k in range(n):
+        abs_begin = abs_begin @ rel_begin[k]
+        abs_f = abs_begin @ _pose_fraction_f64(rel_begin[k], frac)
+        out[k] = np.eye(4) if prev_abs_f is None else \
+            np.linalg.solve(prev_abs_f, abs_f)
+        prev_abs_f = abs_f
+    return out
 
 
 def _pose_matrix_f64(params: np.ndarray) -> np.ndarray:

@@ -25,8 +25,8 @@ _load_attempted = False
 def _build() -> bool:
     try:
         subprocess.check_call(
-            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-             str(_SRC), "-o", str(_LIB_PATH)],
+            ["g++", "-O3", "-march=native", "-fno-math-errno", "-fopenmp",
+             "-shared", "-fPIC", str(_SRC), "-o", str(_LIB_PATH)],
             stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError) as e:

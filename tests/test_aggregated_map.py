@@ -127,6 +127,7 @@ def test_procrustes_alignment_recovers_small_pose():
                                atol=0.02)
 
 
+@pytest.mark.slow
 def test_annealed_kernel_recovers_larger_pose():
     """Robust-kernel + correspondence-gate annealing (sigma_start /
     max_neighbor_dist_start, geometric decay over sigma_anneal_iters):

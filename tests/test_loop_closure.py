@@ -74,6 +74,7 @@ def test_icp_align_recovers_transform():
                                atol=0.02)
 
 
+@pytest.mark.slow
 def test_loop_closure_emits_constraint_on_revisit():
     """A trajectory that returns to its start must produce a loop constraint."""
     from pylidar_slam_tpu.slam.loop_closure import (EILoopClosureConfig,

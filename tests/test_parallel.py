@@ -9,8 +9,11 @@ from pylidar_slam_tpu.ops import optimization, se3
 from pylidar_slam_tpu.parallel import make_mesh, point_sharded_gauss_newton_step
 from pylidar_slam_tpu.parallel.mesh import factorize_two
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices"),
+              # every sharded test here compiles multi-device executables
+              # and exceeds the 15 s fast-tier bar
+              pytest.mark.slow]
 
 
 def test_factorize_two():

@@ -86,6 +86,7 @@ def test_fused_step_no_implicit_transfers():
         jax.block_until_ready(out[2])
 
 
+@pytest.mark.slow
 def test_multirun_parallel_jobs(tmp_path):
     """`-m parallel_jobs=N`: sweep jobs run concurrently, each pinned to its
     own device via jax.default_device round-robin (SURVEY section 5.8c --

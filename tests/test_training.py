@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # all tests here exceed the 15 s fast-tier bar
+
 from pylidar_slam_tpu.config import compose
 import train as train_mod
 
