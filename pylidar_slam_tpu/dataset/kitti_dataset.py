@@ -103,6 +103,13 @@ class KITTIOdometrySequence:
         self.numpy_pc_key = numpy_pc_key
         self.ground_truth_channel = ground_truth_channel
         drive, self.raw_start, self.size = KITTI_SEQUENCE_INFO[sequence_id]
+        # Partial downloads / fabricated micro-sequences: trust the files on
+        # disk over the canonical size table when they disagree.
+        vel = Path(sequences_root_dir) / "sequences" / sequence_id / "velodyne"
+        if vel.exists():
+            n_files = len(list(vel.glob("*.bin")))
+            if n_files and n_files != self.size:
+                self.size = n_files
         self.velodyne_path = self.sequence_dir / "sequences" / sequence_id / "velodyne"
 
         # Raw-drive track (reference kitti_dataset.py:251-274): unrectified

@@ -1,0 +1,104 @@
+"""Shared definition of the device-recorded acceptance fixture.
+
+The north-star acceptance tests (tests/test_reference_parity.py::test_e2e_*)
+verify trajectories RECORDED on the TPU (scripts/record_e2e_ours.py) against
+the reference implementation's own runs on the same sequence.  A recorded
+fixture can silently go stale: nothing used to fail when the champion code
+path changed but the fixture wasn't re-recorded.
+
+`code_stamp()` closes that hole: it traces both champion configurations'
+per-frame device computations (jax.make_jaxpr -- platform-independent, no
+compile) and hashes the jaxprs together with the config reprs.  Comment
+edits and refactors that preserve the traced computation keep the stamp;
+ANY semantic change to the ICP/map/opt code path changes it, and
+test_e2e_fixture_stamp_matches_current_code fails until the fixture is
+re-recorded on the device.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+SEQ_KW = dict(lidar_height=64, lidar_width=1024, num_frames=140,
+              num_walls=40, num_pillars=25)
+
+# The champion configurations (TPU round-3/4 sweeps; see docs/benchmark.md).
+
+
+def champion_configs():
+    from pylidar_slam_tpu.slam.odometry.icp_odometry import \
+        ICPFrameToModelConfig
+    return {
+        # Surfel champion: exact NN re-searched every iteration +
+        # cross-frame k-NN map normals (normals_mode=knn: 0.1155% ->
+        # 0.0155% tr_err on the CPU trend -- the round-3 accuracy lever).
+        "surfel": ICPFrameToModelConfig(
+            max_num_alignments=20, reassoc_every=1,
+            local_map={"type": "kdtree_local_map", "local_map_size": 30,
+                       "points_per_frame": 4096, "sample_voxel_size": 0.3,
+                       "levenberg_damping": 0.0, "normals_mode": "knn"},
+            alignment={"gauss_newton_config": {"scheme": "neighborhood",
+                                               "sigma": 0.2,
+                                               "max_iters": 1}},
+            num_points_padded=65536, data_key="numpy_pc"),
+        "aggregated": ICPFrameToModelConfig(
+            max_num_alignments=12, reassoc_every=4,
+            local_map={"type": "aggregated_local_map", "local_map_size": 20,
+                       "window_rows": 1, "window_cols": 2,
+                       "max_neighbor_dist": 0.6},
+            alignment={"gauss_newton_config": {"scheme": "geman_mcclure",
+                                               "sigma": 0.3,
+                                               "max_iters": 1}},
+            num_points_padded=65536, data_key="numpy_pc"),
+    }
+
+
+def build_odometry(name: str):
+    from pylidar_slam_tpu.ops.projection import SphericalProjection
+    from pylidar_slam_tpu.slam.odometry.icp_odometry import ICPFrameToModel
+    cfg = champion_configs()[name]
+    proj = SphericalProjection(SEQ_KW["lidar_height"], SEQ_KW["lidar_width"],
+                               3.0, -24.0)
+    return ICPFrameToModel(cfg, projector=proj)
+
+
+def code_stamp() -> str:
+    """Hash of the champion configs' traced per-frame computations.
+
+    Traced platform-stably: x64 DISABLED (the test harness enables it, the
+    recording device doesn't -- weak-typed constants would trace to
+    different dtypes) and the exact-NN kernel pinned to its XLA fallback
+    (Pallas-vs-XLA is a trace-time backend branch computing the same 1-NN;
+    consequence: edits INSIDE the Pallas kernel body don't change the stamp
+    -- they are covered by tests/test_pallas_kernels.py equivalence instead).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    h = hashlib.sha256()
+    os.environ["PLS_TPU_FORCE_XLA_NN"] = "1"
+    try:
+        with jax.enable_x64(False):
+            for name in sorted(champion_configs()):
+                odom = build_odometry(name)
+                odom.init()
+                cap = odom.config.num_points_padded
+                pts = jnp.zeros((cap, 3), jnp.float32)
+                msk = jnp.ones((cap,), bool)
+                eye = jnp.eye(4, dtype=jnp.float32)
+                jaxpr = jax.make_jaxpr(odom._step)(
+                    jax.tree.map(jnp.asarray, odom._map_state), eye, pts,
+                    msk, eye)
+                h.update(name.encode())
+                h.update(repr(odom.config).encode())
+                h.update(str(jaxpr).encode())
+    finally:
+        os.environ.pop("PLS_TPU_FORCE_XLA_NN", None)
+    return h.hexdigest()
+
+
+def stamp_array(stamp: str) -> np.ndarray:
+    return np.frombuffer(stamp.encode(), dtype=np.uint8).copy()

@@ -163,6 +163,118 @@ def register_bev(img_a: jnp.ndarray, img_b: jnp.ndarray,
                                  score=scores[best])
 
 
+def _polar_spectrum(img: jnp.ndarray, n_theta: int, n_radius: int):
+    """(T, R) polar resampling of the FFT magnitude spectrum.
+
+    The magnitude spectrum is translation-invariant, and rotating the image
+    rotates it by the same angle -- so image rotation becomes a CIRCULAR
+    SHIFT along the theta axis of this polar map (Fourier-Mellin).  Only a
+    half-turn of angles is sampled: |F| of a real image is point-symmetric,
+    so theta and theta+pi carry identical information.
+    """
+    s = img.shape[0]
+    f = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(img)))
+    # log magnitude flattens the huge dynamic range (DC dominates otherwise)
+    f = jnp.log1p(f)
+    c = s / 2.0
+    thetas = jnp.arange(n_theta) * (math.pi / n_theta)
+    # skip the lowest frequencies (translation-ish, low angular resolution)
+    radii = 2.0 + jnp.arange(n_radius) * ((s / 2.0 - 3.0) / n_radius)
+    tt, rr = jnp.meshgrid(thetas, radii, indexing="ij")
+    yy = c + rr * jnp.sin(tt)
+    xx = c + rr * jnp.cos(tt)
+    return jax.scipy.ndimage.map_coordinates(f, [yy, xx], order=1,
+                                             mode="constant", cval=0.0)
+
+
+def _circular_shift_theta(pa: jnp.ndarray, pb: jnp.ndarray):
+    """Best circular shift (in theta bins, subbin) aligning pb to pa along
+    axis 0, via 1D FFT correlation summed over the radius axis."""
+    n_theta = pa.shape[0]
+    fa = jnp.fft.rfft(pa, axis=0)
+    fb = jnp.fft.rfft(pb, axis=0)
+    corr = jnp.fft.irfft(jnp.sum(fa * jnp.conj(fb), axis=1), n=n_theta)
+    k = jnp.argmax(corr)
+
+    def subbin(c_m, c_0, c_p):
+        denom = c_m - 2 * c_0 + c_p
+        return jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (c_m - c_p) / denom, 0.0)
+
+    off = subbin(corr[(k - 1) % n_theta], corr[k], corr[(k + 1) % n_theta])
+    shift = k.astype(pa.dtype) + off
+    # unwrap: shifts beyond half a turn are negative
+    return jnp.where(shift > n_theta / 2, shift - n_theta, shift)
+
+
+def register_bev_fm(img_a: jnp.ndarray, img_b: jnp.ndarray,
+                    n_theta: int = 180,
+                    n_radius: int = 128,
+                    coarse_factor: int = 4) -> BEVRegistrationResult:
+    """Fourier-Mellin (x, y, yaw) registration -- the fast match path.
+
+    Replaces the exhaustive `register_bev` yaw sweep (72 rotate+FFT rounds,
+    ~290 ms/pair on the target device at 512^2) with:
+
+    1. ONE polar-magnitude-spectrum correlation for the rotation (image
+       rotation = circular shift along the polar theta axis; ~1-bin
+       precision, yaw recovered mod pi since |F| is point-symmetric);
+    2. a 10-candidate refinement sweep (5 sub-bin offsets x the two
+       half-turn hypotheses) on `coarse_factor`x average-pooled images --
+       the phase-correlation peak height both disambiguates the half turn
+       and ranks sub-bin rotation quality at factor^2 less FFT/gather work;
+    3. ONE full-resolution phase correlation at the winning yaw for the
+       final (dy, dx) and the acceptance score.
+
+    ~25x less device work than the sweep at equal-or-better accuracy on
+    loop-closure-scale BEV images (the sub-bin yaw beats the sweep's
+    2*pi/num_yaw_steps grid).
+    """
+    s = img_a.shape[0]
+    pa = _polar_spectrum(img_a, n_theta, n_radius)
+    pb = _polar_spectrum(img_b, n_theta, n_radius)
+    shift = _circular_shift_theta(pa, pb)
+    # shifting pb by +k theta-bins aligns its spectrum to pa's => img_b's
+    # content is rotated by +k bins relative to img_a.  _rotate_image
+    # samples with the INVERSE rotation (the sweep convention: the returned
+    # yaw is the image-warp angle, the cloud-space angle is -yaw --
+    # bev_transform_to_se3), so the warp candidate is -shift.
+    yaw0 = -shift * (math.pi / n_theta)
+
+    if coarse_factor > 1 and s % coarse_factor == 0:
+        f = coarse_factor
+        small_a = img_a.reshape(s // f, f, s // f, f).mean(axis=(1, 3))
+        small_b = img_b.reshape(s // f, f, s // f, f).mean(axis=(1, 3))
+    else:
+        small_a, small_b = img_a, img_b
+
+    def try_yaw_coarse(yaw):
+        rotated = _rotate_image(small_b, yaw)
+        _, _, score = phase_correlation(small_a, rotated)
+        return score
+
+    bin_rad = math.pi / n_theta
+    offsets = jnp.linspace(-bin_rad, bin_rad, 5)
+    yaws = jnp.concatenate([yaw0 + offsets, yaw0 + math.pi + offsets])
+    # keep candidates in (-pi, pi]
+    yaws = jnp.where(yaws > math.pi, yaws - 2 * math.pi, yaws)
+    yaws = jnp.where(yaws <= -math.pi, yaws + 2 * math.pi, yaws)
+    scores = jax.vmap(try_yaw_coarse)(yaws)
+    best = jnp.argmax(scores)
+    yaw = yaws[best]
+    # sub-offset parabola over the winning hypothesis' 5-point score curve
+    # (the coarse argmax leaves ~half-bin rotation residual, which smears
+    # the full-res translation peak)
+    k = jnp.clip(best % 5, 1, 3) + (best // 5) * 5
+    denom = scores[k - 1] - 2 * scores[k] + scores[k + 1]
+    frac = jnp.where(jnp.abs(denom) > 1e-9,
+                     0.5 * (scores[k - 1] - scores[k + 1]) / denom, 0.0)
+    step = offsets[1] - offsets[0]
+    yaw = yaws[k] + jnp.clip(frac, -1.0, 1.0) * step
+
+    dy, dx, score = phase_correlation(img_a, _rotate_image(img_b, yaw))
+    return BEVRegistrationResult(yaw=yaw, dy=dy, dx=dx, score=score)
+
+
 def bev_transform_to_se3(result: BEVRegistrationResult,
                          pixel_size: float) -> jnp.ndarray:
     """Converts a BEV registration into a (4, 4) SE(3) transform (z = 0).

@@ -125,7 +125,14 @@ def nn_argmin(queries: jnp.ndarray, model: jnp.ndarray,
     if model_valid is None:
         model_valid = jnp.ones((model.shape[0],), bool)
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        import os
+        if os.environ.get("PLS_TPU_FORCE_XLA_NN"):
+            # Platform-stable tracing (eval/acceptance.code_stamp): both
+            # branches compute the same exact 1-NN, but they trace to
+            # different jaxprs.
+            use_pallas = False
+        else:
+            use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
         return nn_argmin_pallas(queries, model, model_valid)
     return icp3d.brute_force_nn(queries, model, model_valid)

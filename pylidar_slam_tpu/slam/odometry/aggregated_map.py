@@ -55,7 +55,6 @@ class AggregatedLocalMapConfig(LocalMapConfig):
     # tight gate then rejects every far point and the pose correction has to
     # come from near structure alone -- the high-speed tracking-loss mode.
     max_neighbor_dist_start: float = 0.0
-    use_fused_kernel: bool = False  # opt-in Pallas assoc+GN backend (TPU only)
 
 
 LOCAL_MAP.register("aggregated_local_map", object, AggregatedLocalMapConfig)
@@ -269,8 +268,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                             upload_quantization: float = 0.0,
                             deskew: bool = False,
                             elastic: bool = False,
-                            alignment_mode: str = "point_to_plane_gauss_newton",
-                            use_fused_kernel: bool = False):
+                            alignment_mode: str = "point_to_plane_gauss_newton"):
     """Builds the jitted per-frame step for the aggregated-map odometry.
 
     Iteration structure: `max_num_alignments` GN iterations; the target is
@@ -388,64 +386,44 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                                          delta_round[None])[0].reshape(h, w, 3),
                 0.0)
 
-            if use_fused_kernel and \
-                    alignment_mode == "point_to_plane_gauss_newton":
-                # Single-pass Pallas kernel: association + residuals +
-                # Jacobian + weighted 6x6 normal equations fused
-                # (ops/pallas/assoc_gn_kernel.py).  Measured ~on par with the
-                # XLA path on the current device; kept as an opt-in backend.
-                from pylidar_slam_tpu.ops.pallas.assoc_gn_kernel import (
-                    window_assoc_gn_pallas)
-                h_mat, g, loss, count, _ = window_assoc_gn_pallas(
-                    timg, state.xyz, state.normal, state.rng > 0,
-                    wr=wr, wc=wc, max_nd=max_nd,
-                    scheme=gn_scheme, sigma=gn_sigma)
-                det = jnp.linalg.det(h_mat)
-                singular = jnp.abs(det) < 1.0e-7
-                h_safe = jnp.where(singular, jnp.eye(6, dtype=h_mat.dtype), h_mat)
-                dx = -jax.scipy.linalg.cho_solve(
-                    jax.scipy.linalg.cho_factor(h_safe), g)
-                dx = jnp.where(singular, jnp.zeros_like(dx), dx)
-                ok_count = count.astype(jnp.int32)
-            else:
-                ref, nrm, ok, sq_d = window_associate(state, timg, wr, wc,
-                                                      max_nd_it)
-                tp = timg.reshape(-1, 3)
+            ref, nrm, ok, sq_d = window_associate(state, timg, wr, wc,
+                                                  max_nd_it)
+            tp = timg.reshape(-1, 3)
 
-                zero6 = jnp.zeros(6, tp.dtype)
-                if alignment_mode == "point_to_point_procrustes":
-                    # Closed-form weighted SVD (Kabsch) fit per iteration --
-                    # the reference's point-to-point alignment with procrustes
-                    # initialization (alignment.py:143-189).  Robust weights
-                    # attenuate outlier correspondences exactly as in the GN
-                    # modes; the solve itself is exact, not a linearized step.
-                    from pylidar_slam_tpu.ops import registration
-                    res = optimization.point_to_point_residuals(zero6, tp, ref, ok)
-                    weights = optimization.robust_weights(
-                        gn_scheme, res, sigma_it, sq_dists=sq_d, eps=gn_eps)
-                    wts = weights * weights * ok.astype(tp.dtype)
-                    mat = registration.weighted_procrustes(
-                        ref[None], tp[None], wts[None])[0]
-                    dx = se3.from_pose_matrix(mat[None])[0]
-                    loss = jnp.sum((res * weights) ** 2)
-                    singular = jnp.sum(ok) < 3
-                    dx = jnp.where(singular, jnp.zeros_like(dx), dx)
+            zero6 = jnp.zeros(6, tp.dtype)
+            if alignment_mode == "point_to_point_procrustes":
+                # Closed-form weighted SVD (Kabsch) fit per iteration --
+                # the reference's point-to-point alignment with procrustes
+                # initialization (alignment.py:143-189).  Robust weights
+                # attenuate outlier correspondences exactly as in the GN
+                # modes; the solve itself is exact, not a linearized step.
+                from pylidar_slam_tpu.ops import registration
+                res = optimization.point_to_point_residuals(zero6, tp, ref, ok)
+                weights = optimization.robust_weights(
+                    gn_scheme, res, sigma_it, sq_dists=sq_d, eps=gn_eps)
+                wts = weights * weights * ok.astype(tp.dtype)
+                mat = registration.weighted_procrustes(
+                    ref[None], tp[None], wts[None])[0]
+                dx = se3.from_pose_matrix(mat[None])[0]
+                loss = jnp.sum((res * weights) ** 2)
+                singular = jnp.sum(ok) < 3
+                dx = jnp.where(singular, jnp.zeros_like(dx), dx)
+            else:
+                if alignment_mode == "point_to_point_gauss_newton":
+                    res = optimization.point_to_point_residuals(zero6, tp,
+                                                                ref, ok)
+                    jac = optimization.point_to_point_jacobian(zero6, tp,
+                                                               ref, ok)
                 else:
-                    if alignment_mode == "point_to_point_gauss_newton":
-                        res = optimization.point_to_point_residuals(zero6, tp,
-                                                                    ref, ok)
-                        jac = optimization.point_to_point_jacobian(zero6, tp,
-                                                                   ref, ok)
-                    else:
-                        res = optimization.point_to_plane_residuals(zero6, tp,
-                                                                    ref, nrm, ok)
-                        jac = optimization.point_to_plane_jacobian(zero6, tp,
-                                                                   nrm, ok)
-                    weights = optimization.robust_weights(
-                        gn_scheme, res, sigma_it, sq_dists=sq_d, eps=gn_eps)
-                    dx, loss, singular = optimization.gauss_newton_step(
-                        res, jac, weights)
-                ok_count = jnp.sum(ok).astype(jnp.int32)
+                    res = optimization.point_to_plane_residuals(zero6, tp,
+                                                                ref, nrm, ok)
+                    jac = optimization.point_to_plane_jacobian(zero6, tp,
+                                                               nrm, ok)
+                weights = optimization.robust_weights(
+                    gn_scheme, res, sigma_it, sq_dists=sq_d, eps=gn_eps)
+                dx, loss, singular = optimization.gauss_newton_step(
+                    res, jac, weights)
+            ok_count = jnp.sum(ok).astype(jnp.int32)
 
             delta_norm = jnp.linalg.norm(dx)
             apply = (delta_norm >= threshold_delta_pose) & (~singular)

@@ -370,7 +370,6 @@ class ICPFrameToModel:
                 elastic=bool(align_cfg.get("elastic", False)),
                 alignment_mode=str(align_cfg.get(
                     "mode", "point_to_plane_gauss_newton")),
-                use_fused_kernel=bool(agg_cfg.use_fused_kernel),
             )
             self._build_vmap = None
         else:
@@ -418,6 +417,28 @@ class ICPFrameToModel:
         self._iter = 0
         self.last_rpose_device: Optional[jnp.ndarray] = None
         self.last_result: Optional[ICPStepResult] = None
+        self._viz = None  # lazy ImageVisualizer when config.viz_debug
+
+    def _viz_update(self):
+        """Live per-frame model rendering when `viz_debug` is set (the
+        capability of the reference's in-ICP vertex-map/model windows,
+        icp_odometry.py:209-240): the local map's range image is colormapped
+        to a cv2 window when available and PNGs under ./viz_debug.  Debug
+        only -- each update fetches the model image from the device."""
+        if not bool(self.config.viz_debug):
+            return
+        if self._viz is None:
+            from pylidar_slam_tpu.viz.visualizer import ImageVisualizer
+            self._viz = ImageVisualizer(output_dir="viz_debug",
+                                        use_window=True)
+        st = self._map_state
+        img = None
+        if self._mode == "aggregated_local_map":
+            img = np.asarray(st.rng)
+        elif self._mode == "projective_local_map":
+            img = np.linalg.norm(np.asarray(st.vmaps[0]), axis=-1)
+        if img is not None:
+            self._viz.update(img, tag="model_range")
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -699,6 +720,7 @@ class ICPFrameToModel:
         data_dict[self.relative_pose_key()] = result.pose_matrix
         data_dict[self.pointcloud_key()] = vmap  # device array, fetched lazily
         self._iter += 1
+        self._viz_update()
 
     def _process_next_frame_agg(self, data_dict: dict):
         batched = int(self.config.batch_size or 1) > 1
@@ -770,6 +792,7 @@ class ICPFrameToModel:
         else:
             data_dict[self.pointcloud_key()] = points
         self._iter += 1
+        self._viz_update()
 
     def _stack_and_upload(self, bufs: list):
         """Stacks host buffers and issues the ONE batched H2D transfer.
@@ -825,6 +848,7 @@ class ICPFrameToModel:
             st["upload_wait_s"] += t1 - t0
             st["dispatch_s"] += t2 - t1
             st["flushes"] += 1
+            self._viz_update()  # batched mode: one model render per flush
 
     def _flush_batch(self):
         """Runs the buffered frames through one batched device execution."""

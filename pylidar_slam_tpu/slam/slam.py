@@ -279,6 +279,11 @@ class SLAM:
             self.odometry.finish()
         self._drain_deferred(final=True)
         if self.loop_closure is not None and \
+                hasattr(self.loop_closure, "flush_events"):
+            # Submap-event jobs still on the lc-event worker must land their
+            # match dispatches before the final drain below.
+            self.loop_closure.flush_events()
+        if self.loop_closure is not None and \
                 getattr(self.loop_closure, "_pending_matches", None):
             # Async candidate matches still in flight at sequence end: fetch
             # them and register the surviving constraints with the backend.

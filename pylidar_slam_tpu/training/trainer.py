@@ -65,10 +65,21 @@ class ATrainerConfig:
     data_parallel: bool = False  # shard batches over all visible devices
     tensor_parallel: int = 1  # split weight feature dims over a "tp" mesh axis
     seed: int = 0
-    # TensorBoard logging (reference trainer.py:466-518): scalar frequencies
-    # per split; 0 disables.  Uses torch.utils.tensorboard when importable.
+    # TensorBoard logging (reference trainer.py:466-518): per-KIND
+    # frequencies per split; 0 disables a kind.  Uses
+    # torch.utils.tensorboard when importable.
     with_tensorboard: bool = True
     tensorboard_scalar_frequency: int = 20
+    # Parameter histograms (reference logs weight/gradient histograms at a
+    # lower cadence -- they fetch every parameter to host).
+    tensorboard_histogram_frequency: int = 200
+    # Vertex-map images: the first sample's previous/current range images,
+    # colormapped (the reference's add_image + cv2 ImageVisualizer hook,
+    # trainer.py:249-250, 505-518).
+    tensorboard_image_frequency: int = 500
+    # Live/persisted image visualization via viz.ImageVisualizer (PNGs under
+    # train_dir/viz, cv2 window when available) at the image frequency.
+    visualize: bool = False
 
 
 class AverageMeter:
@@ -154,6 +165,7 @@ class PoseNetTrainer:
         self._eval_step = None
         self._sharding = None
         self._tb_writer = None
+        self._image_visualizer = None
 
     def _tensorboard(self):
         """Lazy TensorBoard writer (no-op when unavailable/disabled)."""
@@ -179,6 +191,52 @@ class PoseNetTrainer:
                 writer.add_scalar(f"{prefix}/{key}", float(value), step)
             except (TypeError, ValueError):
                 pass
+
+    def _log_histograms(self, prefix: str, trainable, step: int):
+        """Parameter histograms per weight tensor (reference
+        trainer.py:466-518 logs histograms at their own frequency)."""
+        writer = self._tensorboard()
+        if writer is None:
+            return
+        flat = jax.tree_util.tree_leaves_with_path(trainable)
+        for path, leaf in flat:
+            name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                            for k in path)
+            try:
+                writer.add_histogram(f"{prefix}/{name}",
+                                     np.asarray(leaf).ravel(), step)
+            except (TypeError, ValueError):
+                pass
+
+    def _log_images(self, prefix: str, points, masks, step: int):
+        """Colormapped range images of the first window pair (the
+        reference's vertex-map add_image + cv2 ImageVisualizer hook,
+        trainer.py:249-250, 505-518)."""
+        writer = self._tensorboard()
+        want_viz = bool(self.config.visualize)
+        if writer is None and not want_viz:
+            return
+        from pylidar_slam_tpu.viz.color_map import tensor_to_image
+        for si in range(min(2, points.shape[1])):
+            vm = np.asarray(projection.build_vertex_map(
+                jnp.asarray(points[0, si]), self.proj,
+                mask=jnp.asarray(masks[0, si])))
+            rng_img = np.linalg.norm(vm, axis=-1)
+            img = tensor_to_image(rng_img)  # (H, W, 3) uint8
+            if writer is not None:
+                try:
+                    writer.add_image(f"{prefix}/vertex_map_{si}", img, step,
+                                     dataformats="HWC")
+                except (TypeError, ValueError):
+                    pass
+            if want_viz:
+                if self._image_visualizer is None:
+                    from pylidar_slam_tpu.viz.visualizer import ImageVisualizer
+                    self._image_visualizer = ImageVisualizer(
+                        output_dir=str(self.train_dir / "viz"),
+                        use_window=True)
+                self._image_visualizer.update(rng_img,
+                                              tag=f"{prefix[1:]}_vm{si}")
 
     # ------------------------------------------------------------------
     # Initialization / checkpointing (contract: {train_dir}/checkpoint.ckp
@@ -424,6 +482,14 @@ class PoseNetTrainer:
             if self.config.tensorboard_scalar_frequency > 0 and \
                     self.train_iter % self.config.tensorboard_scalar_frequency == 0:
                 self._log_scalars(".train", {**logs, "lr": lr}, self.train_iter)
+            if self.config.tensorboard_histogram_frequency > 0 and \
+                    self.train_iter % \
+                    self.config.tensorboard_histogram_frequency == 0:
+                self._log_histograms(".train", trainable, self.train_iter)
+            if self.config.tensorboard_image_frequency > 0 and \
+                    self.train_iter % \
+                    self.config.tensorboard_image_frequency == 0:
+                self._log_images(".train", points, masks, self.train_iter)
         self._set_trainable(trainable)
         return meter.average
 
@@ -442,6 +508,10 @@ class PoseNetTrainer:
             if self.config.tensorboard_scalar_frequency > 0 and \
                     self.eval_iter % self.config.tensorboard_scalar_frequency == 0:
                 self._log_scalars(".eval", logs, self.eval_iter)
+            if self.config.tensorboard_image_frequency > 0 and \
+                    self.eval_iter % \
+                    self.config.tensorboard_image_frequency == 0:
+                self._log_images(".eval", points, masks, self.eval_iter)
         return meter.average
 
     def train(self, num_epochs: Optional[int] = None):

@@ -94,6 +94,15 @@ def main():
             t_qget += tp - tq
             t_proc += tdone - tp
         if i + 1 == WARMUP:
+            # The loop-closure match executable compiles in a background
+            # prewarm thread (loop_closure._prewarm); on the single-CPU host
+            # it may not be done by the first submap event.  Steady state
+            # excludes one-time compiles (a KITTI sequence amortizes them
+            # over 4541 frames), so block here until the prewarm finishes.
+            th = getattr(getattr(slam, "loop_closure", None),
+                         "_prewarm_thread", None)
+            if th is not None:
+                th.join(timeout=600.0)
             t_mark = time.time()
             n_odo = len(slam.elapsed_odometry)
             n_lc = len(slam.elapsed_loop_closure)

@@ -72,7 +72,8 @@ def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
     else:
         local_map = {"type": "aggregated_local_map", "local_map_size": 20,
                      "window_rows": wr, "window_cols": wc,
-                     "max_neighbor_dist": 0.6,
+                     "max_neighbor_dist":
+                         float(os.environ.get("SWEEP_ND", "0.6")),
                      "max_neighbor_dist_start":
                          float(os.environ.get("SWEEP_ND_START", "0.0"))}
         scheme, sigma = "geman_mcclure", 0.3

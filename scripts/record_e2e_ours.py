@@ -23,37 +23,12 @@ sys.path.insert(0, str(REPO))
 
 from pylidar_slam_tpu.dataset.synthetic import (SyntheticConfig,  # noqa: E402
                                                 SyntheticSequence)
+from pylidar_slam_tpu.eval import acceptance  # noqa: E402
 from pylidar_slam_tpu.eval.eval_odometry import (  # noqa: E402
     compute_absolute_poses, compute_kitti_metrics)
-from pylidar_slam_tpu.ops.projection import SphericalProjection  # noqa: E402
-from pylidar_slam_tpu.slam.odometry.icp_odometry import (  # noqa: E402
-    ICPFrameToModel, ICPFrameToModelConfig)
 
-SEQ_KW = dict(lidar_height=64, lidar_width=1024, num_frames=140,
-              num_walls=40, num_pillars=25)
+SEQ_KW = acceptance.SEQ_KW
 
-# The champion configurations (TPU round-3 sweeps; see docs/benchmark.md).
-CONFIGS = {
-    # Surfel champion: exact NN re-searched every iteration + cross-frame
-    # k-NN map normals (normals_mode=knn: 0.1155% -> 0.0155% tr_err on the
-    # CPU trend -- the round-3 accuracy lever).
-    "surfel": ICPFrameToModelConfig(
-        max_num_alignments=20, reassoc_every=1,
-        local_map={"type": "kdtree_local_map", "local_map_size": 30,
-                   "points_per_frame": 4096, "sample_voxel_size": 0.3,
-                   "levenberg_damping": 0.0, "normals_mode": "knn"},
-        alignment={"gauss_newton_config": {"scheme": "neighborhood",
-                                           "sigma": 0.2, "max_iters": 1}},
-        num_points_padded=65536, data_key="numpy_pc"),
-    "aggregated": ICPFrameToModelConfig(
-        max_num_alignments=12, reassoc_every=4,
-        local_map={"type": "aggregated_local_map", "local_map_size": 20,
-                   "window_rows": 1, "window_cols": 2,
-                   "max_neighbor_dist": 0.6},
-        alignment={"gauss_newton_config": {"scheme": "geman_mcclure",
-                                           "sigma": 0.3, "max_iters": 1}},
-        num_points_padded=65536, data_key="numpy_pc"),
-}
 
 
 def main():
@@ -65,16 +40,22 @@ def main():
                    for i in range(cfg.num_frames)])
     gt = np.linalg.inv(gt[0]) @ gt
 
-    out = {"seq_params": np.array([SEQ_KW["lidar_height"],
+    # Stamp: hash of the champion configs' traced computations -- the
+    # acceptance tests fail when current code would no longer produce this
+    # fixture (pylidar_slam_tpu/eval/acceptance.py::code_stamp).
+    stamp = acceptance.code_stamp()
+    print(f"code stamp: {stamp}")
+
+    out = {"stamp": acceptance.stamp_array(stamp),
+           "seq_params": np.array([SEQ_KW["lidar_height"],
                                    SEQ_KW["lidar_width"],
                                    SEQ_KW["num_frames"],
                                    SEQ_KW["num_walls"],
                                    SEQ_KW["num_pillars"], cfg.seed]),
            "gt_absolute": gt}
 
-    for name, icp_cfg in CONFIGS.items():
-        odom = ICPFrameToModel(icp_cfg, projector=SphericalProjection(
-            64, 1024, 3.0, -24.0))
+    for name in acceptance.champion_configs():
+        odom = acceptance.build_odometry(name)
         odom.init()
         last = np.eye(4, dtype=np.float32)
         t0 = time.time()

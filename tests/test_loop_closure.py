@@ -109,4 +109,13 @@ def test_loop_closure_emits_constraint_on_revisit():
         lc.process_next_frame(d)
         constraint_keys += [key for key in d if key.startswith("se3_loop_closure")]
 
+    # Sequence end: submap events run on the lc-event worker and their match
+    # results land at the next drain -- mirror SLAM.finish (slam.py) by
+    # flushing the worker and draining the still-pending matches.
+    lc.flush_events()
+    final = {}
+    lc.drain_pending(final)
+    constraint_keys += [key for key in final
+                        if key.startswith("se3_loop_closure")]
+
     assert len(constraint_keys) > 0, "no loop closure constraint emitted"

@@ -218,3 +218,26 @@ def test_e2e_accuracy_vs_reference_kdtree(e2e):
     assert tr_err <= ref + 0.001, (
         f"ours {tr_err:.6f} vs reference kdtree {ref:.6f} "
         f"(+0.1pt bar {ref + 0.001:.6f})")
+
+
+def test_e2e_fixture_stamp_matches_current_code():
+    """The recorded device fixture must correspond to the CURRENT champion
+    code paths: the stamp hashes both champion configs' traced per-frame
+    computations (jax.make_jaxpr), so any semantic change to the
+    ICP/map/optimization code invalidates the fixture until
+    scripts/record_e2e_ours.py is re-run on the device (kills the
+    silent-stale-fixture hole -- a refactor can no longer keep acceptance
+    green against a trajectory the code would not reproduce)."""
+    from pylidar_slam_tpu.eval import acceptance
+
+    assert OURS_FIXTURE.exists(), (
+        "missing fixture -- run scripts/record_e2e_ours.py (on the TPU)")
+    ours = np.load(OURS_FIXTURE)
+    assert "stamp" in ours.files, (
+        "fixture predates stamping -- re-record with scripts/record_e2e_ours.py")
+    recorded = bytes(ours["stamp"]).decode()
+    current = acceptance.code_stamp()
+    assert recorded == current, (
+        f"ours_e2e.npz was recorded under code stamp {recorded[:12]}... but "
+        f"the current champion code path traces to {current[:12]}... -- "
+        f"re-record the fixture on the device: python scripts/record_e2e_ours.py")
