@@ -270,14 +270,18 @@ class ElevationImageLoopClosure(LoopClosure):
 
     def _subsample(self, cloud: np.ndarray, cap: int) -> np.ndarray:
         # Drop zero padding rows (batched odometry hands over the compact
-        # upload buffer), then 1-point-per-voxel sample (native O(n) path).
-        cloud = cloud[np.abs(cloud).max(axis=1) > 0]
+        # upload buffer), then 1-point-per-voxel sample capped to `cap`
+        # evenly spaced survivors.  The native path fuses all three stages
+        # into one O(n) pass (voxel winners bit-identical to the numpy
+        # chain); this runs per frame in the prefetch workers, so its cost
+        # is the single-core host's full-pipeline throughput lever.
         from pylidar_slam_tpu.utils import native
-        keep = native.grid_sample_mask(cloud, self.config.pixel_size * 2)
-        if keep is None:
-            sampled, _ = np_grid_sample(cloud, self.config.pixel_size * 2)
-        else:
-            sampled = cloud[keep]
+        res = native.lc_subsample(cloud, self.config.pixel_size * 2, cap)
+        if res is not None:
+            out, n = res
+            return out[:n]
+        cloud = cloud[np.abs(cloud).max(axis=1) > 0]
+        sampled, _ = np_grid_sample(cloud, self.config.pixel_size * 2)
         if len(sampled) > cap:
             idx = np.linspace(0, len(sampled) - 1, cap).astype(int)
             sampled = sampled[idx]
@@ -308,12 +312,16 @@ class ElevationImageLoopClosure(LoopClosure):
                 p, m, pixel_size=cfg.pixel_size, size=cfg.im_size,
                 z_min=cfg.z_min, z_max=cfg.z_max))
         from pylidar_slam_tpu.utils import native
-        keep = native.grid_sample_mask(aggregated, cfg.pixel_size)
-        if keep is not None:
-            aggregated = aggregated[keep]
-        elif len(aggregated) > self._AGG_CAPACITY:
-            aggregated, _ = np_grid_sample(aggregated, cfg.pixel_size)
-        padded, mask = self._pad_fixed(aggregated, self._AGG_CAPACITY)
+        res = native.lc_subsample(aggregated, cfg.pixel_size,
+                                  self._AGG_CAPACITY)
+        if res is not None:
+            padded, n = res
+            mask = np.zeros((self._AGG_CAPACITY,), bool)
+            mask[:n] = True
+        else:
+            if len(aggregated) > self._AGG_CAPACITY:
+                aggregated, _ = np_grid_sample(aggregated, cfg.pixel_size)
+            padded, mask = self._pad_fixed(aggregated, self._AGG_CAPACITY)
         # Stays a DEVICE array: matching consumes it on device, so the 1 MB
         # image never round-trips the host.
         return self._jit_image(jnp.asarray(padded), jnp.asarray(mask))

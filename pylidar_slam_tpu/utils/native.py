@@ -58,6 +58,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.grid_sample_mask.restype = ctypes.c_int
         lib.grid_sample_mask.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_void_p]
+        lib.lc_subsample.restype = ctypes.c_int
+        lib.lc_subsample.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+            ctypes.c_void_p]
         lib.encode_range_image.restype = ctypes.c_int
         lib.encode_range_image.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -120,6 +124,22 @@ def grid_sample_mask(points: np.ndarray, voxel_size: float) -> Optional[np.ndarr
                          points.shape[0], ctypes.c_float(voxel_size),
                          keep.ctypes.data_as(ctypes.c_void_p))
     return keep.astype(bool)
+
+
+def lc_subsample(points: np.ndarray, voxel_size: float,
+                 cap: int) -> Optional[Tuple[np.ndarray, int]]:
+    """Fused zero-drop + first-per-voxel + even cap-selection, one O(n)
+    pass.  Returns a zero-padded (cap, 3) float32 buffer and the number of
+    valid rows, or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points[:, :3], np.float32)
+    out = np.zeros((cap, 3), np.float32)
+    n = lib.lc_subsample(points.ctypes.data_as(ctypes.c_void_p),
+                         points.shape[0], ctypes.c_float(voxel_size),
+                         cap, out.ctypes.data_as(ctypes.c_void_p))
+    return out, int(n)
 
 
 def encode_range_image(points: np.ndarray, h: int, w: int,

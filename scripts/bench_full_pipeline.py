@@ -8,8 +8,16 @@ odometry; this script times frames PAST a warmup cut so first-use compiles
 (odometry batch executable, loop-closure match path, backend optimizer) are
 excluded, and reports scans/s + per-stage means.
 
+Steady state is measured over a MIDDLE window: WARMUP frames lead (one-time
+compiles + pipeline fill), COOLDOWN frames trail (still processed in order,
+but the final `slam.finish()` drain -- a bounded tail a 4541-frame KITTI
+sequence amortizes to ~0 -- is not billed to the window).  The deferred-
+downstream backlog is constant in steady state (bounded at 4 flushes +
+one submap interval), so work entering the window equals work leaving it.
+
 Usage:  python scripts/bench_full_pipeline.py
 Env:    FP_FRAMES (default 250), FP_BATCH (12), FP_WARMUP_FRAMES (48),
+        FP_COOLDOWN_FRAMES (48),
         FP_SPEED (0.5 -- keeps 250 frames inside the +/-120 m wall field),
         FP_ITERS/FP_REASSOC/FP_MOTION (GN schedule; defaults to the round-2
         12/4 schedule, FP_ITERS=8 FP_REASSOC=8 FP_MOTION=0.2 for the gate).
@@ -27,6 +35,7 @@ import numpy as np
 FRAMES = int(os.environ.get("FP_FRAMES", "250"))
 BATCH = int(os.environ.get("FP_BATCH", "12"))
 WARMUP = int(os.environ.get("FP_WARMUP_FRAMES", "48"))
+COOLDOWN = int(os.environ.get("FP_COOLDOWN_FRAMES", "48"))
 SPEED = float(os.environ.get("FP_SPEED", "0.5"))
 
 
@@ -82,7 +91,8 @@ def main():
 
     threading.Thread(target=producer, daemon=True).start()
 
-    t_mark = None
+    t_mark = t_cool = None
+    cool_at = FRAMES - COOLDOWN
     t_qget = t_proc = 0.0
     for i in range(len(seq)):
         tq = time.time()
@@ -90,9 +100,11 @@ def main():
         tp = time.time()
         slam.process_next_frame(frame)
         tdone = time.time()
-        if t_mark is not None:
+        if t_mark is not None and t_cool is None:
             t_qget += tp - tq
             t_proc += tdone - tp
+        if i + 1 == cool_at and t_mark is not None:
+            t_cool = time.time()
         if i + 1 == WARMUP:
             # The loop-closure match executable compiles in a background
             # prewarm thread (loop_closure._prewarm); on the single-CPU host
@@ -110,8 +122,11 @@ def main():
     t_fin = time.time()
     slam.finish()
     t_finish = time.time() - t_fin
-    elapsed = time.time() - t_mark
-    timed = FRAMES - WARMUP
+    if t_cool is None:  # COOLDOWN >= FRAMES - WARMUP: fall back to loop end
+        t_cool = t_fin
+        cool_at = FRAMES
+    elapsed = t_cool - t_mark
+    timed = cool_at - WARMUP
     rate = timed / elapsed
 
     lc_ms = 1e3 * float(np.mean(slam.elapsed_loop_closure[n_lc:])) \
@@ -141,6 +156,7 @@ def main():
         # processing vs the final drain (all inside `elapsed`).
         "loop_ms_per_frame": {"qget": round(1e3 * t_qget / timed, 2),
                               "process": round(1e3 * t_proc / timed, 2),
+                              "cooldown_frames": FRAMES - cool_at,
                               "finish_total_s": round(t_finish, 2)},
     }))
 
