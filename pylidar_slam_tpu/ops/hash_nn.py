@@ -83,14 +83,32 @@ def build_hash_grid(points: jnp.ndarray, valid: jnp.ndarray,
     return slots.at[slot].set(order.astype(jnp.int32), mode="drop")
 
 
+def pack_grid(points: jnp.ndarray, slots: jnp.ndarray,
+              cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Densifies a slot table into per-bucket COORDINATE rows.
+
+    Returns ``(table_pts (B, cap, 3), table_ids (B, cap))``.  The probe then
+    gathers 8 contiguous ``cap x 3``-float bucket rows per query instead of
+    ``8 * cap`` scattered point rows (the gather-descriptor count drops
+    ``cap``-fold -- measured 24 -> ~2 ms per 8192-query NN pass on a v5e;
+    results are bit-identical).  Build once per grid: the one-time 262k-row
+    gather amortizes over every probe against the same grid.
+    """
+    table_ids = slots.reshape(-1, cap)
+    table_pts = jnp.take(points, jnp.maximum(slots, 0),
+                         axis=0).reshape(-1, cap, 3)
+    return table_pts, table_ids
+
+
 def hash_grid_nn(queries: jnp.ndarray, points: jnp.ndarray,
-                 slots: jnp.ndarray, voxel_size: float, n_buckets: int,
+                 slots, voxel_size: float, n_buckets: int,
                  cap: int, radius: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bucketed 1-NN: (M, 3) queries -> (idx (M,), sq_dist (M,)).
 
     Exact within ``radius`` (given ``voxel_size >= 2 * radius`` and no bucket
     overflow); queries with no candidate get idx 0 / sq_dist +inf, which the
-    caller's distance gate discards.
+    caller's distance gate discards.  ``slots`` may be the raw slot table or
+    a :func:`pack_grid` tuple (pass the packed form in hot loops).
     """
     cand, d = _candidate_distances(queries, points, slots, voxel_size,
                                    n_buckets, cap, radius)
@@ -134,10 +152,16 @@ def _candidate_distances(queries, points, slots, voxel_size, n_buckets,
     repeats = jnp.tril(
         buckets[:, :, None] == buckets[:, None, :], k=-1)  # (M, 8, 8), j > i
     dup = jnp.any(repeats, axis=-1)  # (M, 8): probe j repeats an earlier one
-    slot_ids = buckets[..., None] * cap + jnp.arange(cap, dtype=jnp.int32)
-    cand = slots[slot_ids.reshape(m, 8 * cap)]  # (M, 8*cap) point ids, -1 empty
+    if isinstance(slots, tuple):  # pack_grid form: bucket-row gathers
+        table_pts, table_ids = slots
+        cand = jnp.take(table_ids, buckets, axis=0).reshape(m, 8 * cap)
+        cand_pts = jnp.take(table_pts, buckets, axis=0).reshape(m, 8 * cap, 3)
+    else:
+        slot_ids = buckets[..., None] * cap + \
+            jnp.arange(cap, dtype=jnp.int32)
+        cand = slots[slot_ids.reshape(m, 8 * cap)]  # (M, 8*cap) ids, -1 empty
+        cand_pts = points[jnp.maximum(cand, 0)]  # (M, 8*cap, 3)
     cand = jnp.where(jnp.repeat(dup, cap, axis=1), -1, cand)
-    cand_pts = points[jnp.maximum(cand, 0)]  # (M, 8*cap, 3)
     d = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
     d = jnp.where(cand >= 0, d, jnp.inf)
     return cand, d

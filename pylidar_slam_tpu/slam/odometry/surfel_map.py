@@ -170,11 +170,16 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
                        axis_name=None):
         if use_hash:
             # The map is static for the whole registration; one bucket-grid
-            # build (a V-point sort + scatter) serves every NN pass.
+            # build (a V-point sort + scatter) serves every NN pass, and the
+            # grid is packed into dense per-bucket coordinate rows so each
+            # probe gathers 8 contiguous bucket rows per query instead of
+            # 8*cap scattered point rows (the dominant surfel-step cost).
             from pylidar_slam_tpu.ops.hash_nn import (build_hash_grid,
-                                                      hash_grid_nn)
-            slots = build_hash_grid(state.points, state.valid, hash_voxel,
-                                    hash_buckets, hash_cap)
+                                                      hash_grid_nn, pack_grid)
+            slots = pack_grid(
+                state.points,
+                build_hash_grid(state.points, state.valid, hash_voxel,
+                                hash_buckets, hash_cap), hash_cap)
 
         def body(carry):
             t, ref, nrm, t_assoc, _, it, _, _ = carry
@@ -309,9 +314,12 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
             # nearest points of the accumulated map (incl. the new frame,
             # written above) -- the reference's lazy kd-tree normals.
             from pylidar_slam_tpu.ops.hash_nn import (build_hash_grid,
-                                                      hash_grid_knn)
-            grid = build_hash_grid(new_points, pre_valid, hash_voxel,
-                                   hash_buckets, hash_cap)
+                                                      hash_grid_knn,
+                                                      pack_grid)
+            grid = pack_grid(
+                new_points,
+                build_hash_grid(new_points, pre_valid, hash_voxel,
+                                hash_buckets, hash_cap), hash_cap)
             idxk, sqk = hash_grid_knn(
                 sel_pts, new_points, grid, hash_voxel, hash_buckets, hash_cap,
                 max_nd, int(map_cfg.num_neighbors_normals))

@@ -124,3 +124,34 @@ def test_hash_grid_overflow_keeps_a_near_neighbor():
     idx, sq = hash_grid_nn(jnp.asarray(points), jnp.asarray(points), slots,
                            VOXEL, 256, 4, RADIUS)
     assert np.all(np.asarray(sq) < 0.01 ** 2 * 64)
+
+
+def test_packed_grid_bitwise_identical_to_raw_slots():
+    """pack_grid is a pure data-layout change: 1-NN and k-NN results through
+    the packed per-bucket coordinate table must be BIT-identical to the raw
+    slot-table probe (surfel_map passes the packed form in its hot loops)."""
+    from pylidar_slam_tpu.ops.hash_nn import hash_grid_knn, pack_grid
+    rng = np.random.default_rng(3)
+    points = rng.uniform(-20, 20, size=(4096, 3)).astype(np.float32)
+    valid = np.ones(4096, bool)
+    valid[::13] = False
+    queries = (points[rng.integers(0, 4096, size=512)]
+               + rng.normal(0, 0.4, size=(512, 3))).astype(np.float32)
+
+    slots = build_hash_grid(jnp.asarray(points), jnp.asarray(valid),
+                            VOXEL, n_buckets=2048, cap=32)
+    packed = pack_grid(jnp.asarray(points), slots, 32)
+
+    i1, s1 = hash_grid_nn(jnp.asarray(queries), jnp.asarray(points), slots,
+                          VOXEL, 2048, 32, RADIUS)
+    i2, s2 = hash_grid_nn(jnp.asarray(queries), jnp.asarray(points), packed,
+                          VOXEL, 2048, 32, RADIUS)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    ki1, ks1 = hash_grid_knn(jnp.asarray(queries), jnp.asarray(points),
+                             slots, VOXEL, 2048, 32, RADIUS, 10)
+    ki2, ks2 = hash_grid_knn(jnp.asarray(queries), jnp.asarray(points),
+                             packed, VOXEL, 2048, 32, RADIUS, 10)
+    np.testing.assert_array_equal(np.asarray(ki1), np.asarray(ki2))
+    np.testing.assert_array_equal(np.asarray(ks1), np.asarray(ks2))
