@@ -33,7 +33,18 @@ from pylidar_slam_tpu.slam.odometry.icp_odometry import (  # noqa: E402
 
 SEQ_KW = dict(lidar_height=64, lidar_width=1024,
               num_frames=int(os.environ.get("SWEEP_FRAMES", "140")),
-              num_walls=40, num_pillars=25)
+              num_walls=int(os.environ.get("SWEEP_WALLS", "40")),
+              num_pillars=int(os.environ.get("SWEEP_PILLARS", "25")))
+if os.environ.get("SWEEP_WORLD"):
+    # Scale wall/pillar counts with area (SWEEP_WALLS/PILLARS override) so a
+    # larger field keeps the same structure density: speed sweeps otherwise
+    # measure scene starvation at the +/-120 m wall-field edge, not odometry.
+    w = float(os.environ["SWEEP_WORLD"])
+    SEQ_KW["world_size"] = w
+    if not os.environ.get("SWEEP_WALLS"):
+        SEQ_KW["num_walls"] = int(round(40 * (w / 120.0) ** 2))
+    if not os.environ.get("SWEEP_PILLARS"):
+        SEQ_KW["num_pillars"] = int(round(25 * (w / 120.0) ** 2))
 if os.environ.get("SWEEP_SPEED"):
     SEQ_KW["speed"] = float(os.environ["SWEEP_SPEED"])
 if os.environ.get("SWEEP_JITTER"):
