@@ -93,6 +93,26 @@ class ICPFrameToModelConfig(OdometryConfig):
     data_key: str = "vertex_map"
     viz_debug: bool = False
 
+    # EI (elevation-image) bootstrap of the FIRST motion estimate: before
+    # frame 1 registers, align frame 1 to frame 0 with the BEV
+    # phase-correlation registration (ops/bev.py) and use the result as the
+    # ICP init pose.  ICP's convergence basin is bounded by the
+    # correspondence gate (max_neighbor_dist / window span), and the
+    # constant-velocity prior is IDENTITY at frame 1 -- so inter-frame
+    # motion beyond the gate at sequence start loses tracking irrecoverably:
+    # the stuck pose feeds back through the CV prior forever (measured:
+    # surfel map at 2 m/frame never locks, ~100% tr_err; one good frame-1
+    # prior restores mm-level tracking).  Capability match of the
+    # reference's EI initialization (reference initialization.py:156-234),
+    # applied where TPU ICP actually needs it: one extra registration per
+    # sequence.  Skipped when the caller supplies a non-identity init
+    # (e.g. PoseNet/NI initialization).
+    ei_bootstrap: bool = True
+    ei_bootstrap_size: int = 128  # BEV image side (pixels)
+    ei_bootstrap_pixel: float = 0.5  # meters/pixel: +-32 m capture basin
+    ei_bootstrap_yaw_steps: int = 64
+    ei_bootstrap_yaw_range: float = 1.0472  # +-60 deg sweep
+
     # Continuous-time pose surface (elastic/CT-ICP mode only; reference
     # ct_icp_odometry.py:173, 326-336): which per-frame pose the odometry
     # reports.  The elastic warp models scan k's sweep motion as the
@@ -418,6 +438,10 @@ class ICPFrameToModel:
         self.last_rpose_device: Optional[jnp.ndarray] = None
         self.last_result: Optional[ICPStepResult] = None
         self._viz = None  # lazy ImageVisualizer when config.viz_debug
+        # EI bootstrap state: frame-0 cloud (host or device) + the jitted
+        # BEV registration, cached per padded capacity.
+        self._boot_cloud = None
+        self._boot_fns: dict = {}
 
     def _viz_update(self):
         """Live per-frame model rendering when `viz_debug` is set (the
@@ -468,6 +492,93 @@ class ICPFrameToModel:
             self._prewarm_single_step()
         self.last_rpose_device = None
         self.last_result = None
+        self._boot_cloud = None
+
+    # -- EI bootstrap -------------------------------------------------------
+
+    def _boot_cloud_of(self, data_dict: dict, fallback=None):
+        """Meters (N, 3) cloud for the EI bootstrap, preferring the raw
+        host array over (possibly encoded) upload buffers."""
+        raw = data_dict.get(self.config.data_key)
+        if raw is not None:
+            arr = raw if isinstance(raw, jnp.ndarray) else np.asarray(raw)
+            if arr.ndim == 3:  # vertex map (H, W, 3)
+                return np.asarray(arr, np.float32).reshape(-1, 3)
+            if arr.ndim == 2 and arr.shape[1] >= 3:
+                return np.asarray(arr[:, :3], np.float32)
+        if fallback is not None and getattr(fallback, "ndim", 0) == 2 \
+                and fallback.dtype == np.float32:
+            return np.asarray(fallback[:, :3], np.float32)
+        return None
+
+    def _ei_bootstrap_pose(self, data_dict: dict, fallback=None):
+        """BEV phase-correlation alignment of frame 1 to frame 0.
+
+        Returns a (4, 4) float32 init pose (current frame -> previous
+        frame), or None when either cloud is unavailable or the estimate
+        fails its sanity clamp."""
+        cur = self._boot_cloud_of(data_dict, fallback)
+        prev = self._boot_cloud
+        if cur is None or prev is None:
+            return None
+        size = int(self.config.ei_bootstrap_size)
+        px = float(self.config.ei_bootstrap_pixel)
+        cap = 1 << max(int(np.ceil(np.log2(max(
+            prev.shape[0], cur.shape[0], 1)))), 10)
+        fn = self._boot_fns.get(cap)
+        if fn is None:
+            from pylidar_slam_tpu.ops import bev as _bev
+            steps = int(self.config.ei_bootstrap_yaw_steps)
+            yaw_range = float(self.config.ei_bootstrap_yaw_range)
+
+            def _img(p):
+                m = jnp.max(jnp.abs(p), axis=-1) > 0
+                # Ground suppression: a single scan's ground return pattern
+                # is EGOCENTRIC (it moves with the sensor), so the raw BEV
+                # phase correlation locks onto it at zero shift regardless
+                # of the true motion (measured: 2 m/frame estimated as
+                # 1 mm).  Structures above ground (walls, poles, facades)
+                # are world-fixed; keeping only points 0.5 m above the
+                # median height (~ground level on ground-dominated scans)
+                # restores cm-accurate estimates at 1-3 m/frame.
+                zmed = jnp.nan_to_num(
+                    jnp.nanmedian(jnp.where(m, p[:, 2], jnp.nan)))
+                return _bev.build_elevation_image(
+                    p, m & (p[:, 2] > zmed + 0.5), px, size)
+
+            def _boot(pa, pb):
+                res = _bev.register_bev(_img(pa), _img(pb),
+                                        num_yaw_steps=steps,
+                                        yaw_range=yaw_range)
+                return _bev.bev_transform_to_se3(res, px), res.score
+
+            fn = self._boot_fns[cap] = jax.jit(_boot)
+
+        def pad(c):
+            out = np.zeros((cap, 3), np.float32)
+            out[:c.shape[0]] = c
+            return out
+
+        mat, _score = fn(jnp.asarray(pad(prev)), jnp.asarray(pad(cur)))
+        mat_np = np.asarray(mat)
+        # Sanity clamp: a shift beyond 80% of the correlation half-extent is
+        # aliasing territory -- identity (the status quo) is safer.
+        if float(np.linalg.norm(mat_np[:2, 3])) > 0.4 * size * px:
+            return None
+        return mat
+
+    def _maybe_bootstrap(self, data_dict: dict, init_pose, fallback=None):
+        """Swaps an uninformative (identity) frame-1 init for the EI
+        estimate; a caller-supplied real prior (PoseNet/NI) wins."""
+        if self._iter != 1 or not bool(self.config.ei_bootstrap) \
+                or self._boot_cloud is None:
+            return init_pose
+        informative = float(np.abs(np.asarray(init_pose) -
+                                   np.eye(4, dtype=np.float32)).max()) > 1e-5
+        boot = None if informative else \
+            self._ei_bootstrap_pose(data_dict, fallback)
+        self._boot_cloud = None
+        return init_pose if boot is None else boot
 
     # -- helpers ------------------------------------------------------------
 
@@ -698,6 +809,8 @@ class ICPFrameToModel:
             self._params_log.append(jnp.zeros((1, 6), dtype=jnp.float32))
             self._iter += 1
             data_dict[self.relative_pose_key()] = self.last_rpose_device
+            if bool(self.config.ei_bootstrap):
+                self._boot_cloud = self._boot_cloud_of(data_dict)
             return
 
         init_np = data_dict.get("init_rpose", None)
@@ -707,6 +820,7 @@ class ICPFrameToModel:
             init_pose = init_np.astype(jnp.float32)
         else:
             init_pose = jnp.asarray(np.asarray(init_np), dtype=jnp.float32)
+        init_pose = self._maybe_bootstrap(data_dict, init_pose)
 
         self._map_state, self._delta_since_update, result = self._step(
             self._map_state, self._delta_since_update, vmap, init_pose)
@@ -747,6 +861,16 @@ class ICPFrameToModel:
             else:  # vertex-map / device input: fall back to device arrays
                 entry = self._read_points(data_dict)
                 pc_out = entry[0]
+            if self._iter == 1 and bool(self.config.ei_bootstrap) and \
+                    self._boot_cloud is not None:
+                # Batched EI bootstrap: the CV chain starts from
+                # last_rpose_device (identity after frame 0) -- replace it
+                # with the BEV estimate so frame 1's in-scan init is real.
+                fb = pc_out if isinstance(pc_out, np.ndarray) else None
+                boot = self._ei_bootstrap_pose(data_dict, fallback=fb)
+                if boot is not None:
+                    self.last_rpose_device = boot
+                self._boot_cloud = None
             self._frame_buffer.append(entry)
             self._iter += 1
             # The points stay available to downstream consumers (loop
@@ -764,6 +888,8 @@ class ICPFrameToModel:
             self._params_log.append(jnp.zeros((1, 6), dtype=jnp.float32))
             self._iter += 1
             data_dict[self.relative_pose_key()] = self.last_rpose_device
+            if bool(self.config.ei_bootstrap):
+                self._boot_cloud = self._boot_cloud_of(data_dict)
             return
 
         init_np = data_dict.get("init_rpose", None)
@@ -773,6 +899,7 @@ class ICPFrameToModel:
             init_pose = init_np.astype(jnp.float32)
         else:
             init_pose = jnp.asarray(np.asarray(init_np), dtype=jnp.float32)
+        init_pose = self._maybe_bootstrap(data_dict, init_pose)
 
         (self._map_state, self._delta_since_update, rpose, pose_params,
          diag) = self._step(self._map_state, self._delta_since_update,
