@@ -25,6 +25,29 @@ import jax.numpy as jnp
 
 
 
+def ground_suppressed_mask(points: jnp.ndarray,
+                           mask: Optional[jnp.ndarray] = None,
+                           margin: float = 0.5) -> jnp.ndarray:
+    """Validity mask keeping only points `margin` meters above the median
+    height (~ground level on ground-dominated scans).
+
+    A SINGLE scan's ground return pattern is EGOCENTRIC -- the range-ring
+    sampling density moves with the sensor -- so BEV phase correlation
+    between consecutive raw scans locks onto it at ZERO shift regardless of
+    the true motion (measured: 2 m/frame estimated as ~1 mm).  Structures
+    above ground (walls, poles, facades) are world-fixed; masking to them
+    restores cm-accurate estimates at 1-3 m/frame.  Aggregated submaps (the
+    loop-closure input) do not need this: their ground pattern is the union
+    over many sensor positions and carries no single egocentric signature.
+    """
+    m = jnp.max(jnp.abs(points), axis=-1) > 0
+    if mask is not None:
+        m = m & mask
+    zmed = jnp.nan_to_num(
+        jnp.nanmedian(jnp.where(m, points[:, 2], jnp.nan)))
+    return m & (points[:, 2] > zmed + margin)
+
+
 def build_elevation_image(points: jnp.ndarray,
                           mask: Optional[jnp.ndarray],
                           pixel_size: float,

@@ -103,6 +103,11 @@ class EIConfig(InitializationConfig):
     num_yaw_steps: int = 45
     yaw_range: float = 0.35  # radians; inter-frame rotations are small
     min_score: float = 0.05
+    # Keep only points this far above the scan's median height (0 disables).
+    # Raw single-scan BEV phase correlation locks onto the EGOCENTRIC
+    # ground sampling pattern at zero shift regardless of the true motion
+    # (bev.ground_suppressed_mask); structures above ground are world-fixed.
+    ground_margin: float = 0.5
 
 
 class ElevationImageInitialization(Initialization):
@@ -121,9 +126,11 @@ class ElevationImageInitialization(Initialization):
         import jax.numpy as jnp
         from pylidar_slam_tpu.ops import bev
         cfg = self.config
+        pts = jnp.asarray(points[:, :3], jnp.float32)
+        mask = bev.ground_suppressed_mask(pts, margin=cfg.ground_margin) \
+            if float(cfg.ground_margin) > 0 else None
         return bev.build_elevation_image(
-            jnp.asarray(points[:, :3], jnp.float32), None,
-            pixel_size=cfg.pixel_size, size=cfg.im_size,
+            pts, mask, pixel_size=cfg.pixel_size, size=cfg.im_size,
             z_min=cfg.z_min, z_max=cfg.z_max)
 
     def next_initial_pose(self, data_dict: Optional[dict] = None, **kwargs):

@@ -532,19 +532,12 @@ class ICPFrameToModel:
             yaw_range = float(self.config.ei_bootstrap_yaw_range)
 
             def _img(p):
-                m = jnp.max(jnp.abs(p), axis=-1) > 0
-                # Ground suppression: a single scan's ground return pattern
-                # is EGOCENTRIC (it moves with the sensor), so the raw BEV
-                # phase correlation locks onto it at zero shift regardless
-                # of the true motion (measured: 2 m/frame estimated as
-                # 1 mm).  Structures above ground (walls, poles, facades)
-                # are world-fixed; keeping only points 0.5 m above the
-                # median height (~ground level on ground-dominated scans)
-                # restores cm-accurate estimates at 1-3 m/frame.
-                zmed = jnp.nan_to_num(
-                    jnp.nanmedian(jnp.where(m, p[:, 2], jnp.nan)))
+                # Ground suppression is load-bearing: see
+                # bev.ground_suppressed_mask (raw single-scan phase
+                # correlation locks onto the egocentric ground pattern at
+                # zero shift).
                 return _bev.build_elevation_image(
-                    p, m & (p[:, 2] > zmed + 0.5), px, size)
+                    p, _bev.ground_suppressed_mask(p), px, size)
 
             def _boot(pa, pb):
                 res = _bev.register_bev(_img(pa), _img(pb),

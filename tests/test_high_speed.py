@@ -116,6 +116,30 @@ def test_aggregated_batched_tracks_at_speed(fast_seq):
         f"ATE {ate:.3f}"
 
 
+def test_ei_initialization_module_sees_large_motion(fast_seq):
+    """The registered EI initialization module (slam/initialization.py) is
+    cm-accurate at 2 m/frame.  Without ground suppression it locked onto
+    the egocentric ground pattern and estimated ~0 motion."""
+    from pylidar_slam_tpu.slam.initialization import (
+        EIConfig, ElevationImageInitialization)
+    frames, gt = fast_seq
+    init = ElevationImageInitialization(EIConfig())
+    init.init()
+    assert init.next_initial_pose({"numpy_pc": frames[0]}) is None
+    est = init.next_initial_pose({"numpy_pc": frames[1]})
+    gt_rel = np.linalg.inv(gt[0]) @ gt[1]
+    err = np.linalg.norm(np.asarray(est)[:3, 3] - gt_rel[:3, 3])
+    assert err < 0.15, f"EI init translation error {err:.3f} m"
+
+    # ...and ground suppression off reproduces the zero-lock failure,
+    # proving the mask is the load-bearing ingredient.
+    raw = ElevationImageInitialization(EIConfig(ground_margin=0.0))
+    raw.init()
+    raw.next_initial_pose({"numpy_pc": frames[0]})
+    est_raw = raw.next_initial_pose({"numpy_pc": frames[1]})
+    assert np.linalg.norm(np.asarray(est_raw)[:3, 3]) < 0.5
+
+
 def test_informative_init_wins(fast_seq):
     """A caller-supplied non-identity init (PoseNet/NI) must NOT be
     overridden by the bootstrap."""
