@@ -178,6 +178,13 @@ class ICPFrameToModelConfig(OdometryConfig):
     # legs of the measured pipeline; serializing them is the throughput
     # wall).  Costs one extra batch of result latency.
     async_upload: bool = True
+    # Batched mode: completed pose flushes kept IN FLIGHT before
+    # drain_batch_results hands them to downstream consumers (loop closure /
+    # backend), i.e. downstream runs batch_size x this many frames behind
+    # the odometry.  Larger values hide the ~200 ms tunneled host fetch
+    # behind a busier queue; smaller values tighten loop-closure latency
+    # (relevant when `min_id_distance`-scale revisits are close to the lag).
+    batch_results_lag: int = 4
 
 
 class ICPStepResult(NamedTuple):
@@ -1036,7 +1043,8 @@ class ICPFrameToModel:
         """
         if final:
             self._dispatch_inflight()
-        keep_in_flight = 0 if final else 4
+        keep_in_flight = 0 if final else \
+            max(int(self.config.batch_results_lag), 0)
         while len(self._pending_param_fetches) > keep_in_flight:
             fut = self._pending_param_fetches.pop(0)
             for p in fut.result():

@@ -140,6 +140,38 @@ def test_ei_initialization_module_sees_large_motion(fast_seq):
     assert np.linalg.norm(np.asarray(est_raw)[:3, 3]) < 0.5
 
 
+@pytest.mark.slow
+def test_projective_tracks_at_speed(fast_seq):
+    """The projective map (run.py default) through the vertex-map path:
+    the bootstrap reaches it via process_next_frame's init selection."""
+    import jax.numpy as jnp
+    from pylidar_slam_tpu.ops import projection
+    frames, gt = fast_seq
+    proj = SphericalProjection(64, 1024, 3.0, -24.0)
+    cfg = ICPFrameToModelConfig(
+        max_num_alignments=10,
+        local_map={"type": "projective_local_map", "local_map_size": 20},
+        alignment={"gauss_newton_config": {"scheme": "geman_mcclure",
+                                           "sigma": 0.3, "max_iters": 1}},
+        data_key="vertex_map")
+    odom = ICPFrameToModel(cfg, projector=proj)
+    odom.init()
+    last = None
+    for pc in frames[:8]:
+        vmap = projection.build_vertex_map(
+            jnp.asarray(pc[:, :3]), proj,
+            jnp.max(jnp.abs(jnp.asarray(pc[:, :3])), axis=-1) > 0)
+        d = {"vertex_map": vmap}
+        if last is not None:
+            d["init_rpose"] = last
+        odom.process_next_frame(d)
+        last = np.asarray(d["odometry_pose"])
+    traj = compute_absolute_poses(odom.get_relative_poses())
+    ate = _ate(traj, gt)
+    assert ate < 0.35, f"projective lost tracking at speed {SPEED}: " \
+        f"ATE {ate:.3f}"
+
+
 def test_informative_init_wins(fast_seq):
     """A caller-supplied non-identity init (PoseNet/NI) must NOT be
     overridden by the bootstrap."""
