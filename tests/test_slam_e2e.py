@@ -96,7 +96,9 @@ def test_projective_odometry_tracks_synthetic(tmp_path):
 def test_config_composition_defaults():
     cfg = compose("config", "slam", ["dataset=synthetic"])
     assert cfg["slam"]["odometry"]["algorithm"] == "icp_F2M"
-    assert cfg["slam"]["odometry"]["local_map"]["type"] == "projective_local_map"
+    # Round-4 default: the surfel ("kdtree") champion map (config/slam.yaml)
+    assert cfg["slam"]["odometry"]["local_map"]["type"] == "kdtree_local_map"
+    assert cfg["slam"]["odometry"]["local_map"]["nn_backend"] == "hash"
     assert cfg["slam"]["initialization"]["type"] == "cv"
     assert cfg["dataset"]["dataset"] == "synthetic"
     # group override replaces the subtree choice
