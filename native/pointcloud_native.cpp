@@ -208,8 +208,11 @@ int grid_sample_mask(const float* points, int n, float voxel_size,
 
 // Fused loop-closure subsample (slam/loop_closure.py): drop exact-zero
 // padding rows, keep the first point per voxel (same hash as
-// grid_sample_mask, so winners are bit-identical to the two-pass numpy
-// path), then select `cap` evenly spaced survivors (np.linspace semantics)
+// grid_sample_mask; matches the two-pass numpy path up to rounding of
+// half-boundary points -- np.round is half-to-even, std::lround is
+// half-away-from-zero, so a point exactly on a half-voxel edge may land in
+// the adjacent voxel, swapping which near-duplicate survives), then select
+// `cap` evenly spaced survivors (np.linspace semantics)
 // straight into `out` (cap x 3 float32, caller-zeroed).  One O(n) pass
 // replaces the numpy zero-drop + mask-index + linspace-gather chain that
 // cost ~4.5 ms/frame on a single-core host.  Returns the number of rows
@@ -248,8 +251,10 @@ int lc_subsample(const float* points, int n, float voxel_size, int cap,
     int n_out = kept < cap ? kept : cap;
     for (int k = 0; k < n_out; ++k) {
         // np.linspace(0, kept-1, cap).astype(int) == floor(k*(kept-1)/(cap-1))
+        // (cap == 1 guarded: np.linspace(0, kept-1, 1) == [0]).
         int src;
         if (kept <= cap) src = kept_idx[k];
+        else if (cap == 1) src = kept_idx[0];
         else src = kept_idx[(int)((int64_t)k * (kept - 1) / (cap - 1))];
         out[3 * k + 0] = points[3 * src + 0];
         out[3 * k + 1] = points[3 * src + 1];

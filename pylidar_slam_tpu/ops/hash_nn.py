@@ -119,7 +119,7 @@ def hash_grid_nn(queries: jnp.ndarray, points: jnp.ndarray,
 
 
 def hash_grid_knn(queries: jnp.ndarray, points: jnp.ndarray,
-                  slots: jnp.ndarray, voxel_size: float, n_buckets: int,
+                  slots, voxel_size: float, n_buckets: int,
                   cap: int, radius: float,
                   k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bucketed k-NN: (M, 3) queries -> (idx (M, k), sq_dist (M, k)).
@@ -127,7 +127,9 @@ def hash_grid_knn(queries: jnp.ndarray, points: jnp.ndarray,
     Candidates come from the same 2x2x2 probe as :func:`hash_grid_nn`, so
     the j-th neighbor is exact while its distance stays under ``radius``
     (and no bucket overflowed).  Missing neighbors carry sq_dist +inf and
-    idx 0 (safe gather index) -- mask on ``jnp.isfinite(sq)``.
+    idx 0 (safe gather index) -- mask on ``jnp.isfinite(sq)``.  ``slots``
+    may be the raw slot table or a :func:`pack_grid` tuple (pass the packed
+    form in hot loops, as surfel_map does).
     """
     cand, d = _candidate_distances(queries, points, slots, voxel_size,
                                    n_buckets, cap, radius)

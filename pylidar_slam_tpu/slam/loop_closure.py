@@ -483,7 +483,21 @@ class ElevationImageLoopClosure(LoopClosure):
             # work finished long ago (a submap interval of odometry batches
             # ran since), so this materialization is cheap -- and its
             # constraints enter the backend through THIS frame's data_dict.
-            self.drain_pending(data_dict, wait=False)
+            #
+            # flush + wait=True (not a ready-only drain): every match
+            # dispatched at an earlier submap event is registered HERE,
+            # making constraint registration -- and therefore the frame at
+            # which the backend optimizes and update_positions rewrites the
+            # submap ledger -- a deterministic function of the frame stream,
+            # independent of batch size and wall-clock (a ready-only drain
+            # let the optimization fire at different frames between batch
+            # sizes, after which every later submap cloud, BEV image and
+            # match score diverged).  The wait is cheap: the previous event
+            # job had a full submap interval to run, and its result fetch
+            # was enqueued with copy_to_host_async right behind the match
+            # dispatch, so the buffers are host-resident by now.
+            self.flush_events()
+            self.drain_pending(data_dict, wait=True)
             mid = len(self.current_map_pcs) // 2
             aggregated = np.concatenate(self.current_map_pcs, axis=0)
             mid_pose = self.current_map_poses[mid]

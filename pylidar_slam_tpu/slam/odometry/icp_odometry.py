@@ -112,6 +112,11 @@ class ICPFrameToModelConfig(OdometryConfig):
     ei_bootstrap_pixel: float = 0.5  # meters/pixel: +-32 m capture basin
     ei_bootstrap_yaw_steps: int = 64
     ei_bootstrap_yaw_range: float = 1.0472  # +-60 deg sweep
+    # Phase-correlation acceptance threshold: on structure-poor first frames
+    # ground suppression can leave a near-empty BEV whose noise peak lands
+    # inside the translation clamp; a sub-threshold score keeps the safe
+    # identity prior instead (matches EIConfig.min_score's role).
+    ei_bootstrap_min_score: float = 0.05
 
     # Continuous-time pose surface (elastic/CT-ICP mode only; reference
     # ct_icp_odometry.py:173, 326-336): which per-frame pose the odometry
@@ -509,8 +514,11 @@ class ICPFrameToModel:
         raw = data_dict.get(self.config.data_key)
         if raw is not None:
             arr = raw if isinstance(raw, jnp.ndarray) else np.asarray(raw)
-            if arr.ndim == 3:  # vertex map (H, W, 3)
-                return np.asarray(arr, np.float32).reshape(-1, 3)
+            if arr.ndim == 3:  # vertex map, (H, W, 3) or channels-first
+                a = np.asarray(arr, np.float32)
+                if a.shape[0] == 3 and a.shape[-1] != 3:
+                    a = np.transpose(a, (1, 2, 0))  # mirror _read_input
+                return a.reshape(-1, 3)
             if arr.ndim == 2 and arr.shape[1] >= 3:
                 return np.asarray(arr[:, :3], np.float32)
         if fallback is not None and getattr(fallback, "ndim", 0) == 2 \
@@ -559,8 +567,12 @@ class ICPFrameToModel:
             out[:c.shape[0]] = c
             return out
 
-        mat, _score = fn(jnp.asarray(pad(prev)), jnp.asarray(pad(cur)))
+        mat, score = fn(jnp.asarray(pad(prev)), jnp.asarray(pad(cur)))
         mat_np = np.asarray(mat)
+        # Score gate: a weak correlation peak means the BEV pair carries no
+        # usable structure -- identity (the status quo) is safer.
+        if float(score) < float(self.config.ei_bootstrap_min_score):
+            return None
         # Sanity clamp: a shift beyond 80% of the correlation half-extent is
         # aliasing territory -- identity (the status quo) is safer.
         if float(np.linalg.norm(mat_np[:2, 3])) > 0.4 * size * px:
