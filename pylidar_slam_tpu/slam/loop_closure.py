@@ -249,6 +249,74 @@ class ElevationImageLoopClosure(LoopClosure):
         self._event_pool = None
         self._event_futures: List = []
 
+    # -- on-disk persistence (reference loop_closure.py:160-193) -------------
+
+    def save_state(self, path: str):
+        """Serializes the full loop-closure state (submap images, clouds,
+        poses, accumulation buffers) to one ``.npz`` so a run can be resumed
+        or replayed with its loop-closure context (the capability of the
+        reference's MapData serialize/load, loop_closure.py:160-193; ours
+        stores BEV images + padded clouds instead of cv2 keypoints).
+
+        Call after ``flush_events`` / ``SLAM.finish`` -- in-flight candidate
+        matches (`_pending_matches`) are transient device work and are NOT
+        serialized."""
+        self.flush_events()
+        cfg = self.config
+        n_maps = len(self.saved_images)
+        images = (np.stack([np.asarray(im) for im in self.saved_images])
+                  if n_maps else np.zeros((0, cfg.im_size, cfg.im_size),
+                                          np.float32))
+        clouds = (np.stack([np.asarray(c[0]) for c in self.saved_clouds])
+                  if n_maps else np.zeros((0, cfg.icp_num_points, 3),
+                                          np.float32))
+        cloud_masks = (np.stack([np.asarray(c[1]) for c in self.saved_clouds])
+                       if n_maps else np.zeros((0, cfg.icp_num_points), bool))
+        # The in-progress submap accumulators are ragged; store concatenated
+        # + per-frame lengths.
+        cur_lens = np.array([len(p) for p in self.current_map_pcs], np.int64)
+        cur_pcs = (np.concatenate(self.current_map_pcs, axis=0)
+                   if self.current_map_pcs else np.zeros((0, 3), np.float32))
+        np.savez_compressed(
+            path,
+            current_frame_id=np.int64(self.current_frame_id),
+            last_inserted_pose=self.last_inserted_pose,
+            maps_absolute_poses=self.maps_absolute_poses,
+            maps_frame_ids=np.asarray(self.maps_frame_ids, np.int64),
+            all_frames_absolute_poses=np.stack(
+                self.all_frames_absolute_poses)
+            if self.all_frames_absolute_poses else np.zeros((0, 4, 4)),
+            saved_images=images,
+            saved_clouds=clouds,
+            saved_cloud_masks=cloud_masks,
+            cur_lens=cur_lens,
+            cur_pcs=cur_pcs,
+            cur_poses=np.stack(self.current_map_poses)
+            if self.current_map_poses else np.zeros((0, 4, 4)),
+            cur_frameids=np.asarray(self.current_map_frameids, np.int64))
+
+    def load_state(self, path: str):
+        """Restores the state written by :meth:`save_state`; submap images
+        and clouds go back to the device (matching consumes them there)."""
+        data = np.load(path)
+        self.clean()
+        self.current_frame_id = int(data["current_frame_id"])
+        self.last_inserted_pose = np.asarray(data["last_inserted_pose"])
+        self.maps_absolute_poses = np.asarray(data["maps_absolute_poses"])
+        self.maps_frame_ids = [int(i) for i in data["maps_frame_ids"]]
+        self.all_frames_absolute_poses = list(
+            data["all_frames_absolute_poses"])
+        self.saved_images = [jnp.asarray(im) for im in data["saved_images"]]
+        self.saved_clouds = [(jnp.asarray(c), jnp.asarray(m))
+                             for c, m in zip(data["saved_clouds"],
+                                             data["saved_cloud_masks"])]
+        offsets = np.concatenate([[0], np.cumsum(data["cur_lens"])])
+        self.current_map_pcs = [
+            np.asarray(data["cur_pcs"][offsets[i]:offsets[i + 1]])
+            for i in range(len(data["cur_lens"]))]
+        self.current_map_poses = list(data["cur_poses"])
+        self.current_map_frameids = [int(i) for i in data["cur_frameids"]]
+
     # -- persistence of submap positions after optimization ------------------
 
     def update_positions(self, trajectory: np.ndarray):

@@ -223,6 +223,14 @@ class SLAMRunner:
                 self._save_map(seq_name, map_clouds, relative)
             if slam.backend is not None:
                 slam.dump_all_constraints(str(self.log_dir / f"constraints_{seq_name}"))
+            if slam.loop_closure is not None and \
+                    hasattr(slam.loop_closure, "save_state") and \
+                    self.config.save_results:
+                # Submap state persists next to the results so the run can
+                # be resumed/replayed with its loop-closure context
+                # (replay.py --lc_state; reference loop_closure.py:160-193).
+                slam.loop_closure.save_state(
+                    str(self.log_dir / f"loop_closure_{seq_name}.npz"))
 
         if results is not None:
             results.close()

@@ -31,6 +31,11 @@ def main(argv=None):
     parser.add_argument("--sequence", required=True)
     parser.add_argument("--start_index", type=int, default=0)
     parser.add_argument("--num_frames", type=int, default=-1)
+    parser.add_argument("--lc_state", default="",
+                        help="Path to a loop_closure_<seq>.npz saved by a "
+                             "previous run (odometry_runner); restores the "
+                             "submap state so the replay resumes with its "
+                             "loop-closure context")
     parser.add_argument("overrides", nargs="*", default=[])
     args = parser.parse_args(argv)
 
@@ -55,6 +60,11 @@ def main(argv=None):
                 projector=dataset_loader.projector(),
                 pose=cfg.get("pose", "euler"))
     slam.init()
+    if args.lc_state:
+        assert slam.loop_closure is not None, \
+            "--lc_state given but the replayed config has no loop closure"
+        slam.loop_closure.load_state(args.lc_state)
+        logging.info("restored loop-closure state from %s", args.lc_state)
     for i in range(len(window)):
         slam.process_next_frame(window[i])
         if (i + 1) % 50 == 0:

@@ -119,3 +119,82 @@ def test_loop_closure_emits_constraint_on_revisit():
                         if key.startswith("se3_loop_closure")]
 
     assert len(constraint_keys) > 0, "no loop closure constraint emitted"
+
+
+@pytest.mark.slow
+def test_loop_closure_state_persistence_resume():
+    """save_state/load_state round-trip (VERDICT r4 missing #1): a run
+    interrupted mid-sequence and resumed from its serialized loop-closure
+    state registers the same constraints as the uninterrupted run
+    (capability of reference loop_closure.py:160-193)."""
+    from pylidar_slam_tpu.slam.loop_closure import (EILoopClosureConfig,
+                                                    ElevationImageLoopClosure)
+    import tempfile
+    from pathlib import Path
+
+    rng = np.random.default_rng(7)
+    world = _structured_cloud(rng, 4000)
+    cfg = EILoopClosureConfig(local_map_size=5, overlap=2, min_id_distance=10,
+                              im_size=256, pixel_size=0.25, num_yaw_steps=45,
+                              with_icp_refinement=True, icp_num_points=2048,
+                              min_score=0.05)
+    n_frames = 30
+
+    def frame(k):
+        t = k / (n_frames - 1)
+        angle = 2 * np.pi * t
+        pos = np.array([3 * np.sin(angle), 1.5 * (1 - np.cos(angle)), 0.0])
+        pose = np.eye(4)
+        pose[:3, 3] = pos
+        return pose, world - pos[None, :]
+
+    def run(lc, start, stop, prev_pose):
+        keys = []
+        for k in range(start, stop):
+            pose, local = frame(k)
+            rel = np.eye(4) if k == 0 else np.linalg.inv(prev_pose) @ pose
+            prev_pose = pose
+            d = {lc.relative_pose_key(): rel, lc.pointcloud_key(): local}
+            lc.process_next_frame(d)
+            keys += [key for key in d if key.startswith("se3_loop_closure")]
+        return keys, prev_pose
+
+    # Uninterrupted reference run.
+    lc_full = ElevationImageLoopClosure(cfg)
+    lc_full.init()
+    keys_full, _ = run(lc_full, 0, n_frames, None)
+    lc_full.flush_events()
+    final = {}
+    lc_full.drain_pending(final)
+    keys_full += [k for k in final if k.startswith("se3_loop_closure")]
+    assert len(keys_full) > 0, "no loop constraint fired -- test setup broken"
+
+    # Interrupted at frame 17: save, reload into a FRESH instance, resume.
+    cut = 17
+    lc_a = ElevationImageLoopClosure(cfg)
+    lc_a.init()
+    _, prev_pose = run(lc_a, 0, cut, None)
+    lc_a.flush_events()
+    mid = {}
+    lc_a.drain_pending(mid)
+    keys_resumed = [k for k in mid if k.startswith("se3_loop_closure")]
+    with tempfile.TemporaryDirectory() as td:
+        path = str(Path(td) / "lc_state.npz")
+        lc_a.save_state(path)
+
+        lc_b = ElevationImageLoopClosure(cfg)
+        lc_b.init()
+        lc_b.load_state(path)
+        assert lc_b.current_frame_id == cut
+        assert len(lc_b.saved_images) == len(lc_a.saved_images)
+        np.testing.assert_allclose(lc_b.maps_absolute_poses,
+                                   lc_a.maps_absolute_poses)
+
+    more, _ = run(lc_b, cut, n_frames, prev_pose)
+    keys_resumed += more
+    lc_b.flush_events()
+    final_b = {}
+    lc_b.drain_pending(final_b)
+    keys_resumed += [k for k in final_b if k.startswith("se3_loop_closure")]
+
+    assert sorted(keys_resumed) == sorted(keys_full)
