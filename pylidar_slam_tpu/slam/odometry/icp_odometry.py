@@ -326,7 +326,7 @@ class ICPFrameToModel:
         lm_dict = config.local_map if isinstance(config.local_map, dict) else {}
         self._mode = lm_dict.get("type", "projective_local_map")
         known_modes = ("projective_local_map", "aggregated_local_map",
-                       "kdtree_local_map")
+                       "kdtree_local_map", "voxel_local_map")
         assert_debug(self._mode in known_modes,
                      f"Unknown local_map type '{self._mode}'. "
                      f"Known: {list(known_modes)}")
@@ -343,7 +343,29 @@ class ICPFrameToModel:
             f"not host point uploads) -- use the aggregated or kdtree map, "
             f"or drop the override")
 
-        if self._mode == "kdtree_local_map":
+        if self._mode == "voxel_local_map":
+            from pylidar_slam_tpu.slam.odometry import voxel_map as vm
+            vox_cfg = dataclass_from_dict(vm.VoxelTableMapConfig, lm_dict)
+            self.local_map_size = int(vox_cfg.local_map_size)
+            self._vox_cfg = vox_cfg
+            self._step, self._first, self._batch_step = \
+                vm.make_voxel_icp_frame_step(
+                    proj=projector,
+                    map_cfg=vox_cfg,
+                    reassoc_every=int(getattr(config, "reassoc_every", 1) or 1),
+                    reassoc_motion_m=float(
+                        getattr(config, "reassoc_motion_m", 0.0) or 0.0),
+                    max_num_alignments=int(config.max_num_alignments),
+                    threshold_delta_pose=float(config.threshold_delta_pose),
+                    threshold_trans=float(config.threshold_trans),
+                    threshold_rot=float(config.threshold_rot),
+                    gn_scheme=gn_cfg.scheme,
+                    gn_sigma=float(gn_cfg.sigma),
+                    gn_eps=float(gn_cfg.eps),
+                    upload_quantization=float(config.upload_quantization or 0.0),
+                )
+            self._build_vmap = None
+        elif self._mode == "kdtree_local_map":
             from pylidar_slam_tpu.slam.odometry import surfel_map as sm
             surfel_cfg = dataclass_from_dict(sm.SurfelRingMapConfig, lm_dict)
             self.local_map_size = int(surfel_cfg.local_map_size)
@@ -488,6 +510,9 @@ class ICPFrameToModel:
             from pylidar_slam_tpu.slam.odometry import surfel_map as sm
             self._map_state = sm.init_surfel_map(
                 k, int(self._surfel_cfg.points_per_frame))
+        elif self._mode == "voxel_local_map":
+            from pylidar_slam_tpu.slam.odometry import voxel_map as vm
+            self._map_state = vm.init_voxel_map(self._vox_cfg)
         else:
             self._map_state = init_projective_map(k, h, w)
         self._delta_since_update = jnp.eye(4, dtype=jnp.float32)
@@ -500,7 +525,7 @@ class ICPFrameToModel:
                            "flushes": 0}
         self._iter = 0
         if int(self.config.batch_size or 1) > 1 and \
-                self._mode in ("aggregated_local_map", "kdtree_local_map"):
+                self._mode in ("aggregated_local_map", "kdtree_local_map", "voxel_local_map"):
             self._prewarm_single_step()
         self.last_rpose_device = None
         self.last_result = None
@@ -652,7 +677,7 @@ class ICPFrameToModel:
             return pts, mask
         assert_debug(arr.ndim == 2 and arr.shape[1] >= 3,
                      f"Cannot interpret data under '{key}' with shape {arr.shape}")
-        if self._mode in ("aggregated_local_map", "kdtree_local_map"):
+        if self._mode in ("aggregated_local_map", "kdtree_local_map", "voxel_local_map"):
             return self._compact_upload(arr)
         padded, mask = self._pad_points(arr)
         return jnp.asarray(padded), jnp.asarray(mask)
@@ -810,7 +835,7 @@ class ICPFrameToModel:
     # -- main ---------------------------------------------------------------
 
     def process_next_frame(self, data_dict: dict):
-        if self._mode in ("aggregated_local_map", "kdtree_local_map"):
+        if self._mode in ("aggregated_local_map", "kdtree_local_map", "voxel_local_map"):
             # Both modes share the (points, mask) fused-step interface.
             return self._process_next_frame_agg(data_dict)
         vmap = self._read_input(data_dict)

@@ -47,11 +47,21 @@ def main():
     batch = int(os.environ.get("SF_BATCH", "8"))
     fmt = os.environ.get("SF_FORMAT", "rimg8")
     cap = 66560 if fmt in ("rimg8", "rimg12") else 65536
+    if os.environ.get("SF_MAP_TYPE", "kdtree") == "voxel":
+        local_map = {"type": "voxel_local_map",
+                     "local_map_size": int(os.environ.get("SF_MAP", "30")),
+                     "map_voxel": float(os.environ.get("SF_VOXEL", "0.4")),
+                     "max_neighbor_dist": float(os.environ.get("SF_ND", "0.4")),
+                     "table_slots": int(os.environ.get("SF_SLOTS", "262144")),
+                     "target_samples": int(os.environ.get("SF_TGT", "8192"))}
+    else:
+        local_map = None  # filled below (historical kdtree block)
     icp_cfg = ICPFrameToModelConfig(
         max_num_alignments=int(os.environ.get("SF_ITERS", "10")),
         reassoc_every=int(os.environ.get("SF_REASSOC", "100")),
         reassoc_motion_m=float(os.environ.get("SF_REASSOC_MOTION", "0.2")),
-        local_map={"type": "kdtree_local_map",
+        local_map=local_map if local_map is not None else
+        {"type": "kdtree_local_map",
                    "local_map_size": int(os.environ.get("SF_MAP", "30")),
                    "points_per_frame": int(os.environ.get("SF_POINTS", "4096")),
                    "sample_voxel_size": float(os.environ.get("SF_VOXEL", "0.3")),
