@@ -55,6 +55,14 @@ class AggregatedLocalMapConfig(LocalMapConfig):
     # tight gate then rejects every far point and the pose correction has to
     # come from near structure alone -- the high-speed tracking-loss mode.
     max_neighbor_dist_start: float = 0.0
+    # Recompute the normal map from the MERGED model image after every
+    # insert instead of carrying each scan's own normals.  Neighboring model
+    # pixels come from different frames, so the plane fits aggregate
+    # cross-frame surface context -- the image-space analog of the surfel
+    # map's k-NN map normals (its single biggest accuracy lever,
+    # normals_mode=knn: 0.1155% -> 0.0155%).  One extra conv-window
+    # covariance solve per insert.
+    model_normals: bool = False
 
 
 LOCAL_MAP.register("aggregated_local_map", object, AggregatedLocalMapConfig)
@@ -142,7 +150,8 @@ def insert_scan(state: AggMapState,
                 scan_rimg: jnp.ndarray,
                 new_anchor_from_old_anchor: jnp.ndarray,
                 proj: projection.SphericalProjection,
-                max_age: int) -> AggMapState:
+                max_age: int,
+                model_normals_kernel: int = 0) -> AggMapState:
     """Inserts a scan; the scan's frame becomes the new anchor.
 
     The old model is re-expressed in the new anchor frame, re-rasterized once,
@@ -178,6 +187,14 @@ def insert_scan(state: AggMapState,
     rng = jnp.where(take_old, old_img_rng, scan_rimg)
     age = jnp.where(take_old, old_img_age + 1, 0)
     age = jnp.where(rng > 0, age, 0)
+
+    if model_normals_kernel > 0:
+        # Cross-frame normals: plane-fit windows over the MERGED model
+        # (config flag model_normals).  Degenerate fits fall back to the
+        # carried per-scan normal so sparse model regions stay usable.
+        fit = geometry.compute_normal_map(xyz, model_normals_kernel)
+        good = jnp.max(jnp.abs(fit), axis=-1) > 0
+        nrm = jnp.where(good[..., None], fit, nrm)
 
     return AggMapState(xyz=xyz, normal=nrm, rng=rng, age=age,
                        anchor_from_cur=jnp.eye(4, dtype=xyz.dtype))
@@ -282,6 +299,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
     wr, wc = int(map_cfg.window_rows), int(map_cfg.window_cols)
     max_nd = float(map_cfg.max_neighbor_dist)
     nks = int(map_cfg.normals_kernel_size)
+    model_nks = nks if bool(getattr(map_cfg, "model_normals", False)) else 0
 
     def dequant(points: jnp.ndarray, mask: jnp.ndarray):
         """Expands compact uploads (range-image uint8 / packed uint16 /
@@ -499,7 +517,8 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                 vmap, nmap, rimg = build_scan_images(ins, mask, proj, nks)
             # new anchor = the new frame; old anchor -> new frame transform:
             new_from_old = se3.inverse_pose_matrix(t_final[None])[0]
-            return insert_scan(st, vmap, nmap, rimg, new_from_old, proj, max_age)
+            return insert_scan(st, vmap, nmap, rimg, new_from_old, proj,
+                               max_age, model_normals_kernel=model_nks)
 
         def no_insert(st):
             return st._replace(anchor_from_cur=t_final)
@@ -517,7 +536,8 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
         else:
             vmap, nmap, rimg = build_scan_images(points, mask, proj, nks)
         return insert_scan(state, vmap, nmap, rimg,
-                           jnp.eye(4, dtype=points.dtype), proj, max_age)
+                           jnp.eye(4, dtype=points.dtype), proj, max_age,
+                           model_normals_kernel=model_nks)
 
     def batch_step(state: AggMapState, delta_since_update: jnp.ndarray,
                    last_rpose: jnp.ndarray,

@@ -86,8 +86,11 @@ def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
                      "max_neighbor_dist":
                          float(os.environ.get("SWEEP_ND", "0.6")),
                      "max_neighbor_dist_start":
-                         float(os.environ.get("SWEEP_ND_START", "0.0"))}
-        scheme, sigma = "geman_mcclure", 0.3
+                         float(os.environ.get("SWEEP_ND_START", "0.0")),
+                     "model_normals":
+                         os.environ.get("SWEEP_MODEL_NORMALS", "0") == "1"}
+        scheme = os.environ.get("SWEEP_SCHEME", "geman_mcclure")
+        sigma = float(os.environ.get("SWEEP_SIGMA", "0.3"))
     return ICPFrameToModelConfig(
         max_num_alignments=iters, reassoc_every=reassoc,
         reassoc_motion_m=motion,
