@@ -62,7 +62,7 @@ def load_frames():
                                                 train_sequences=["00"]))
         seq = loader.sequences()[0][0][0]
         frames = [seq[i]["numpy_pc"][:, :3] for i in range(NUM_FRAMES)]
-        return frames, loader.projector(), "kitti-00"
+        return frames, loader, "kitti-00"
     from pylidar_slam_tpu.dataset.synthetic import (SyntheticConfig,
                                                     SyntheticDatasetLoader)
     cfg = SyntheticConfig(lidar_height=64, lidar_width=1024,
@@ -70,7 +70,7 @@ def load_frames():
     loader = SyntheticDatasetLoader(cfg)
     seq = loader.sequences()[0][0][0]
     frames = [seq[i]["numpy_pc"] for i in range(NUM_FRAMES)]
-    return frames, loader.projector(), "synthetic-kitti64x1024"
+    return frames, loader, "synthetic-kitti64x1024"
 
 
 def main():
@@ -80,7 +80,15 @@ def main():
     from pylidar_slam_tpu.slam.odometry.icp_odometry import (
         ICPFrameToModel, ICPFrameToModelConfig)
 
-    frames, proj, source = load_frames()
+    frames, loader, source = load_frames()
+    proj = loader.projector()
+    # Codec rule (docs/benchmark.md format-vs-jitter table): rimg8's
+    # per-row/per-col mean offsets are exact ONLY on a grid-regular firing
+    # pattern; real sensors (KITTI's de-calibrated HDL-64E) need the
+    # per-pixel offsets of rimg (3 B/px).  The default follows the loader's
+    # declared sensor reality; BENCH_FORMAT still overrides explicitly.
+    bench_format = os.environ.get(
+        "BENCH_FORMAT", "rimg8" if loader.grid_regular else "rimg")
 
     # The tuned accuracy configuration (meets the BASELINE accuracy bar):
     # geman_mcclure-weighted GN on FULL-density rimg8 input (0.1439% tr_err
@@ -88,6 +96,28 @@ def main():
     # dense clouds, the reverse holds on grid-sampled input), reassociation
     # every 4 iterations (measured BOTH faster and more accurate than every
     # 2 -- round-2 sweep).
+    # BENCH_MAP selects the local-map backend the driver records:
+    #   aggregated (default) -- the image-space throughput flagship;
+    #   kdtree -- the surfel ring map accuracy champion (exact NN);
+    #   voxel -- the persistent voxel-table map (memory-lean exact NN).
+    bench_map = os.environ.get("BENCH_MAP", "aggregated")
+    if bench_map == "kdtree":
+        local_map = {"type": "kdtree_local_map",
+                     "local_map_size": 30, "points_per_frame": 4096,
+                     "sample_voxel_size": 0.3, "target_samples": 16384,
+                     "target_voxel_size": 0.4, "max_neighbor_dist": 1.0,
+                     "nn_backend": "hash", "hash_capacity": 32,
+                     "normals_mode": "knn"}
+    elif bench_map == "voxel":
+        local_map = {"type": "voxel_local_map", "local_map_size": 30,
+                     "map_voxel": 0.4, "max_neighbor_dist": 0.4,
+                     "table_slots": 262144, "target_samples": 8192}
+    else:
+        local_map = {"type": "aggregated_local_map", "local_map_size": 20,
+                     "window_rows": 1, "window_cols": 2,
+                     "max_neighbor_dist": 0.6,
+                     "model_normals": os.environ.get(
+                         "BENCH_MODEL_NORMALS", "0") == "1"}
     icp_cfg = ICPFrameToModelConfig(
         # Motion-gated schedule (docs/benchmark.md round-3 sweep): 8 GN
         # iterations, periodic reassociation off, re-rasterize when the pose
@@ -99,12 +129,15 @@ def main():
         max_num_alignments=int(os.environ.get("BENCH_ITERS", "8")),
         reassoc_every=int(os.environ.get("BENCH_REASSOC", "8")),
         reassoc_motion_m=float(os.environ.get("BENCH_REASSOC_MOTION", "0.2")),
-        local_map={"type": "aggregated_local_map", "local_map_size": 20,
-                   "window_rows": 1, "window_cols": 2,
-                   "max_neighbor_dist": 0.6},
+        local_map=local_map,
         alignment={"gauss_newton_config": {
-            "scheme": os.environ.get("BENCH_SCHEME", "geman_mcclure"),
-            "sigma": float(os.environ.get("BENCH_SIGMA", "0.3")),
+            # The surfel champion is tuned with the neighborhood scheme
+            # (docs/benchmark.md); the image-space maps with geman_mcclure.
+            "scheme": os.environ.get(
+                "BENCH_SCHEME",
+                "neighborhood" if bench_map == "kdtree" else "geman_mcclure"),
+            "sigma": float(os.environ.get(
+                "BENCH_SIGMA", "0.2" if bench_map == "kdtree" else "0.3")),
             "max_iters": 1}},
         # 65536 covers grid-sampled scans with headroom (synthetic ~32k,
         # KITTI at 0.15 m ~50k); power-of-2 tiles measurably better than
@@ -113,8 +146,7 @@ def main():
         # multiple of 1024 (XLA-friendly tiles).
         num_points_padded=int(os.environ.get(
             "BENCH_CAP",
-            "66560" if os.environ.get("BENCH_FORMAT", "rimg8")
-            in ("rimg8", "rimg12") else "65536")),
+            "66560" if bench_format in ("rimg8", "rimg12") else "65536")),
         data_key="numpy_pc",
         batch_size=BATCH,
         upload_quantization=float(os.environ.get("BENCH_QUANT", "0.0")),
@@ -124,7 +156,7 @@ def main():
         # and carries FULL scan density -- 0.1439% tr_err on the 140-frame
         # fixture (vs 0.395% for the round-2 packed+grid-sampled default).
         # BENCH_FORMAT=packed/f32 + BENCH_VOXEL=0.15 revert.
-        upload_format=os.environ.get("BENCH_FORMAT", "rimg8"),
+        upload_format=bench_format,
     )
     odom = ICPFrameToModel(icp_cfg, projector=proj)
     odom.init()
@@ -289,7 +321,8 @@ def main():
         stages["probe_error"] = str(exc)[:200]
 
     result = {
-        "metric": f"ICP odometry throughput ({source}, 64x1024, map=20, accuracy config)",
+        "metric": f"ICP odometry throughput ({source}, 64x1024, "
+                  f"map={bench_map}, accuracy config)",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
         "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 2),

@@ -47,6 +47,24 @@ class DatasetLoader:
     def projector(self) -> SphericalProjection:
         raise NotImplementedError("")
 
+    @property
+    def grid_regular(self) -> bool:
+        """True iff the sensor's firing pattern is exactly the projector's
+        regular grid (every beam at its nominal elevation/azimuth).
+
+        Drives the upload-codec choice: the 2 B/pixel ``rimg8`` format
+        stores only per-row/per-col MEAN angular offsets, which is exact on
+        a regular grid but drops per-pixel beam de-calibration -- real
+        sensors (e.g. KITTI's HDL-64E, whose intrinsics need the 0.205
+        degree correction the reference applies in kitti_dataset.py:201-231)
+        need the 3 B/pixel ``rimg`` format with per-pixel sub-pixel offsets
+        (measured: rimg8 degrades 0.14% -> 0.60% tr_err at 0.1 degree beam
+        jitter while rimg holds -- docs/benchmark.md format-vs-jitter
+        table).  Default False: only loaders that KNOW their pattern is
+        synthetic-regular may opt in.
+        """
+        return False
+
     def sequences(self):
         """Returns ((train_datasets, names), (eval_datasets, names),
         (test_datasets, names), transform)."""

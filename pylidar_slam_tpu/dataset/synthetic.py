@@ -241,6 +241,12 @@ class SyntheticDatasetLoader(DatasetLoader):
         return SphericalProjection(height=cfg.lidar_height, width=cfg.lidar_width,
                                    up_fov=cfg.up_fov, down_fov=cfg.down_fov)
 
+    @property
+    def grid_regular(self) -> bool:
+        # The raycaster fires on the exact projector grid unless beam
+        # jitter (sensor de-calibration) is simulated.
+        return float(self.config.beam_jitter_deg) == 0.0
+
     def _make(self, names: List[str]):
         if not names:
             return None

@@ -56,7 +56,12 @@ DEFAULT = "base:12:4:1:2,w11:12:4:1:1,w01:12:4:0:1,i10:10:5:1:2," \
           "i8:8:4:1:2,w11i10:10:5:1:1"
 
 
-def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
+def variant_cfg(iters, reassoc, wr, wc, motion=0.0, extra=None):
+    """extra: dict of per-variant overrides (nd, sigma, scheme, map_size,
+    nd_start, sigma_start, anneal) -- lets ONE process sweep knobs that
+    used to need per-process env vars (each process pays the ~3 min first
+    tunnel compile; in-process variants take ~14 s)."""
+    extra = extra or {}
     if os.environ.get("SWEEP_MAP", "aggregated") == "kdtree":
         # Surfel champion settings (docs/benchmark.md); wr/wc unused.
         local_map = {"type": "kdtree_local_map",
@@ -81,25 +86,36 @@ def variant_cfg(iters, reassoc, wr, wc, motion=0.0):
                      "normals_mode": os.environ.get("SWEEP_NORMALS", "knn")}
         scheme, sigma = "neighborhood", 0.2
     else:
-        local_map = {"type": "aggregated_local_map", "local_map_size": 20,
+        local_map = {"type": "aggregated_local_map",
+                     "local_map_size":
+                         int(extra.get("map_size",
+                                       os.environ.get("SWEEP_MAP_SIZE", 20))),
                      "window_rows": wr, "window_cols": wc,
                      "max_neighbor_dist":
-                         float(os.environ.get("SWEEP_ND", "0.6")),
+                         float(extra.get("nd",
+                                         os.environ.get("SWEEP_ND", "0.6"))),
                      "max_neighbor_dist_start":
-                         float(os.environ.get("SWEEP_ND_START", "0.0")),
+                         float(extra.get(
+                             "nd_start",
+                             os.environ.get("SWEEP_ND_START", "0.0"))),
                      "model_normals":
                          os.environ.get("SWEEP_MODEL_NORMALS", "0") == "1"}
-        scheme = os.environ.get("SWEEP_SCHEME", "geman_mcclure")
-        sigma = float(os.environ.get("SWEEP_SIGMA", "0.3"))
+        scheme = str(extra.get("scheme",
+                               os.environ.get("SWEEP_SCHEME",
+                                              "geman_mcclure")))
+        sigma = float(extra.get("sigma", os.environ.get("SWEEP_SIGMA",
+                                                        "0.3")))
     return ICPFrameToModelConfig(
         max_num_alignments=iters, reassoc_every=reassoc,
         reassoc_motion_m=motion,
         local_map=local_map,
         alignment={"gauss_newton_config": {
             "scheme": scheme, "sigma": sigma, "max_iters": 1,
-            "sigma_start": float(os.environ.get("SWEEP_SIGMA_START", "0.0")),
+            "sigma_start": float(extra.get(
+                "sigma_start", os.environ.get("SWEEP_SIGMA_START", "0.0"))),
             "sigma_anneal_iters":
-                int(os.environ.get("SWEEP_ANNEAL_ITERS", "0"))}},
+                int(extra.get("anneal",
+                              os.environ.get("SWEEP_ANNEAL_ITERS", "0")))}},
         num_points_padded=66560 if FORMAT == "rimg8" else 65536,
         data_key="numpy_pc", batch_size=BATCH, upload_format=FORMAT)
 
@@ -117,9 +133,17 @@ def main():
     for spec in grid.split(","):
         parts = spec.strip().split(":")
         name, iters, reassoc, wr, wc = parts[:5]
-        motion = float(parts[5]) if len(parts) > 5 else 0.0
+        motion = 0.0
+        extra = {}
+        for p in parts[5:]:  # positional motion, then key=value extras
+            if "=" in p:
+                k, v = p.split("=", 1)
+                extra[k] = v
+            else:
+                motion = float(p)
         odom = ICPFrameToModel(
-            variant_cfg(int(iters), int(reassoc), int(wr), int(wc), motion),
+            variant_cfg(int(iters), int(reassoc), int(wr), int(wc), motion,
+                        extra),
             projector=SphericalProjection(64, 1024, 3.0, -24.0))
         odom.init()
         last = np.eye(4, dtype=np.float32)

@@ -85,6 +85,50 @@ def test_rimg16_tracks_jittered_beams(tmp_path):
     assert ate < 0.05, f"rimg16 jittered-beam ATE too high: {ate}"
 
 
+def test_grid_regular_drives_codec_choice():
+    # The codec rule lives in code, not docs: rimg8 (separable mean-offset
+    # planes) is only claimed for grid-regular firing patterns; any
+    # simulated de-calibration or a real dataset must declare
+    # grid_regular=False so bench.py/tooling default to per-pixel-offset
+    # formats (reference kitti_dataset.py:201-231 is exactly such a
+    # de-calibrated sensor).
+    regular = SyntheticDatasetLoader(SyntheticConfig(num_frames=1))
+    jittered = SyntheticDatasetLoader(
+        SyntheticConfig(num_frames=1, beam_jitter_deg=0.1))
+    assert regular.grid_regular is True
+    assert jittered.grid_regular is False
+    from pylidar_slam_tpu.dataset.configuration import DatasetLoader
+    # Real-sensor loaders inherit the conservative base default.
+    base = DatasetLoader(SyntheticConfig(num_frames=1))
+    assert base.grid_regular is False
+
+
+@pytest.mark.slow
+def test_bench_config_rimg_tracks_jittered_beams(tmp_path):
+    # The bench accuracy config must survive de-calibrated beams when the
+    # codec rule selects the per-pixel-offset rimg format (what bench.py
+    # now auto-picks when loader.grid_regular is False): the accuracy
+    # clause may not silently depend on a grid-regular sensor.
+    runner = _run(tmp_path, ["slam/odometry/local_map=aggregated",
+                             "dataset.beam_jitter_deg=0.1",
+                             "slam.odometry.upload_format=rimg",
+                             "slam.odometry.num_points_padded=65536",
+                             "slam.odometry.batch_size=7",
+                             "slam.odometry.max_num_alignments=8",
+                             "slam.odometry.reassoc_every=8",
+                             "slam.odometry.reassoc_motion_m=0.2"])
+    loader = runner.dataset_loader
+    rel_gt = loader.get_ground_truth("synth_00")[:14]
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "run" / "synth_00.poses.txt", sep=",")
+    absolute = np.concatenate(
+        [df.values.reshape(-1, 3, 4),
+         np.tile(np.array([[[0, 0, 0, 1.0]]]), (len(df), 1, 1))], axis=1)
+    rel_pred = ev.compute_relative_poses(absolute)
+    ate, _ = ev.compute_ate(rel_pred, rel_gt)
+    assert ate < 0.05, f"bench-config rimg jittered-beam ATE too high: {ate}"
+
+
 @pytest.mark.slow
 def test_projective_odometry_tracks_synthetic(tmp_path):
     runner = _run(tmp_path, ["slam/odometry/local_map=projective",
