@@ -12,8 +12,9 @@ from pylidar_slam_tpu.parallel.mesh import factorize_two
 pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8,
                                  reason="needs 8 virtual devices"),
               # every sharded test here compiles multi-device executables
-              # and exceeds the 15 s fast-tier bar
-              pytest.mark.slow]
+              # and exceeds the 15 s fast-tier bar; the 8-device virtual
+              # mesh belongs to the nightly tier (pytest.ini)
+              pytest.mark.slow, pytest.mark.nightly]
 
 
 def test_factorize_two():

@@ -87,6 +87,7 @@ def test_fused_step_no_implicit_transfers():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_multirun_parallel_jobs(tmp_path):
     """`-m parallel_jobs=N`: sweep jobs run concurrently, each pinned to its
     own device via jax.default_device round-robin (SURVEY section 5.8c --

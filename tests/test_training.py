@@ -2,7 +2,9 @@
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # all tests here exceed the 15 s fast-tier bar
+# Training runs are the nightly tier (pytest.ini): too expensive for the
+# per-round slow budget, and convergence asserts want real step counts.
+pytestmark = [pytest.mark.slow, pytest.mark.nightly]
 
 from pylidar_slam_tpu.config import compose
 import train as train_mod
