@@ -152,7 +152,9 @@ def gauss_newton_step(res: jnp.ndarray, jac: jnp.ndarray,
                       weights: jnp.ndarray,
                       det_threshold: float = 1.0e-7,
                       damping: float = 0.0,
-                      axis_name=None):
+                      axis_name=None,
+                      prior_res=None,
+                      prior_weight=None):
     """One weighted GN step from residuals (N,), Jacobian (N, 6), weights (N,).
 
     Returns (dx (6,), loss, singular-flag).  The 6x6 normal equations are
@@ -164,6 +166,17 @@ def gauss_newton_step(res: jnp.ndarray, jac: jnp.ndarray,
     needed for sparse-map configurations whose normal equations are weakly
     constrained (exact-precision GN otherwise overshoots along the
     near-degenerate directions).
+
+    `prior_res` (6,) + `prior_weight` (6,) add quadratic pose priors to the
+    solve: per-parameter cost `prior_weight[i] * (prior_res[i] + dx[i])^2`,
+    i.e. identity-Jacobian residuals anchoring the UPDATED pose toward a
+    target pose whose current deviation (in the same left-delta parameter
+    space as dx) is `prior_res`.  This is the TPU-native equivalent of
+    CT-ICP's beta regularizers (constant-velocity / small-velocity /
+    orientation-consistency soft constraints, pyct_icp CTICPOptions
+    reflected by reference ct_icp_odometry.py:57-105): adds diag(w) to the
+    normal matrix and w * prior_res to the gradient -- no extra residual
+    rows, no shape changes.
 
     `axis_name`: inside ``shard_map`` with the point dimension sharded, the
     partial normal equations are psum-ed over this mesh axis before the
@@ -181,6 +194,10 @@ def gauss_newton_step(res: jnp.ndarray, jac: jnp.ndarray,
     if axis_name is not None:
         h = jax.lax.psum(h, axis_name)
         g = jax.lax.psum(g, axis_name)
+    if prior_res is not None and prior_weight is not None:
+        # Prior terms join AFTER the psum: they are global, not per-shard.
+        h = h + jnp.diag(prior_weight.astype(h.dtype))
+        g = g + (prior_weight * prior_res).astype(g.dtype)
     if damping > 0.0:
         h = h + (damping * jnp.trace(h) / 6.0) * jnp.eye(6, dtype=h.dtype)
     det = jnp.linalg.det(h)

@@ -281,6 +281,11 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                             gn_eps: float = 1.0e-4,
                             gn_sigma_start: float = 0.0,
                             gn_sigma_anneal_iters: int = 0,
+                            max_dist_to_plane: float = 0.0,
+                            beta_location_consistency: float = 0.0,
+                            beta_constant_velocity: float = 0.0,
+                            beta_small_velocity: float = 0.0,
+                            beta_orientation_consistency: float = 0.0,
                             reassoc_motion_m: float = 0.0,
                             upload_quantization: float = 0.0,
                             deskew: bool = False,
@@ -435,12 +440,51 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                 else:
                     res = optimization.point_to_plane_residuals(zero6, tp,
                                                                 ref, nrm, ok)
+                    if max_dist_to_plane > 0.0:
+                        # pyct_icp's max_dist_to_plane_ct_icp: drop
+                        # correspondences whose plane residual exceeds the
+                        # gate -- close in 3D but far from the tangent
+                        # plane means a grazing surface or unstable normal,
+                        # exactly what biases the plane solve.
+                        ok = ok & (jnp.abs(res) <= max_dist_to_plane)
+                        res = jnp.where(ok, res, 0.0)
                     jac = optimization.point_to_plane_jacobian(zero6, tp,
                                                                nrm, ok)
                 weights = optimization.robust_weights(
                     gn_scheme, res, sigma_it, sq_dists=sq_d, eps=gn_eps)
+                prior_res = prior_weight = None
+                if beta_location_consistency > 0.0 or \
+                        beta_constant_velocity > 0.0 or \
+                        beta_small_velocity > 0.0 or \
+                        beta_orientation_consistency > 0.0:
+                    # CT-ICP beta regularizers as quadratic pose priors on
+                    # the GN solve (see GaussNewtonConfig): deviations are
+                    # measured in the same left-delta parameter space dx
+                    # lives in, scaled by the match count so betas are
+                    # density-free.
+                    dt = tp.dtype
+                    n_ok = jnp.maximum(jnp.sum(ok).astype(dt), 1.0)
+                    tr_blk = jnp.array([1, 1, 1, 0, 0, 0], dt)
+                    rot_blk = 1.0 - tr_blk
+                    # Deviation of the iterate from the CV prior t_init...
+                    d_cv = se3.from_pose_matrix(
+                        (t @ se3.inverse_pose_matrix(t_init[None])[0])[None]
+                    )[0]
+                    # ...and from zero motion (t == anchor_from_cur).
+                    d_sv = se3.from_pose_matrix(
+                        (t @ se3.inverse_pose_matrix(
+                            state.anchor_from_cur[None])[0])[None])[0]
+                    w_cv = n_ok * (
+                        beta_constant_velocity
+                        + beta_location_consistency * tr_blk
+                        + beta_orientation_consistency * rot_blk)
+                    w_sv = n_ok * beta_small_velocity
+                    prior_weight = w_cv + w_sv
+                    prior_res = (w_cv * d_cv + w_sv * d_sv) / \
+                        jnp.maximum(prior_weight, 1.0e-12)
                 dx, loss, singular = optimization.gauss_newton_step(
-                    res, jac, weights)
+                    res, jac, weights,
+                    prior_res=prior_res, prior_weight=prior_weight)
             ok_count = jnp.sum(ok).astype(jnp.int32)
 
             delta_norm = jnp.linalg.norm(dx)

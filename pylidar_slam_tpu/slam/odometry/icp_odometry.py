@@ -61,6 +61,28 @@ class GaussNewtonConfig:
     # the projective/kdtree paths use the constant `sigma`.
     sigma_start: float = 0.0
     sigma_anneal_iters: int = 0
+    # CT-ICP solver option surface (TPU-native equivalents of the pyct_icp
+    # CTICPOptions the reference reflects, ct_icp_odometry.py:57-160).
+    # Consumed by the aggregated-map ICP loop; 0 disables each.
+    #
+    # Correspondence gate on the POINT-TO-PLANE residual (meters): pyct_icp's
+    # max_dist_to_plane_ct_icp.  Tighter than the 3D neighbor gate
+    # (max_neighbor_dist): a neighbor can be close in 3D yet far from its
+    # tangent plane (grazing surfaces, unstable normals) -- exactly the
+    # correspondences that bias the plane solve.
+    max_dist_to_plane: float = 0.0
+    # Soft pose priors added to the 6x6 normal equations each iteration
+    # (beta * n_matches * ||deviation + dx||^2, scale-free in point count).
+    # Our elastic warp ties the scan-begin pose to the previous scan's end
+    # STRUCTURALLY (pyct_icp enforces that with beta_location_consistency on
+    # its separate begin-pose unknown), so here location consistency is the
+    # translation block of the prior pull and orientation consistency the
+    # rotation block; constant velocity pulls the full 6-DoF motion toward
+    # the constant-velocity prior and small velocity toward zero motion.
+    beta_location_consistency: float = 0.0
+    beta_constant_velocity: float = 0.0
+    beta_small_velocity: float = 0.0
+    beta_orientation_consistency: float = 0.0
 
 
 @dataclass
@@ -419,6 +441,14 @@ class ICPFrameToModel:
                 gn_eps=float(gn_cfg.eps),
                 gn_sigma_start=float(gn_cfg.sigma_start or 0.0),
                 gn_sigma_anneal_iters=int(gn_cfg.sigma_anneal_iters or 0),
+                max_dist_to_plane=float(gn_cfg.max_dist_to_plane or 0.0),
+                beta_location_consistency=float(
+                    gn_cfg.beta_location_consistency or 0.0),
+                beta_constant_velocity=float(
+                    gn_cfg.beta_constant_velocity or 0.0),
+                beta_small_velocity=float(gn_cfg.beta_small_velocity or 0.0),
+                beta_orientation_consistency=float(
+                    gn_cfg.beta_orientation_consistency or 0.0),
                 upload_quantization=float(config.upload_quantization or 0.0),
                 deskew=bool(align_cfg.get("deskew", False)),
                 elastic=bool(align_cfg.get("elastic", False)),

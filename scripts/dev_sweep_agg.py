@@ -99,7 +99,9 @@ def variant_cfg(iters, reassoc, wr, wc, motion=0.0, extra=None):
                              "nd_start",
                              os.environ.get("SWEEP_ND_START", "0.0"))),
                      "model_normals":
-                         os.environ.get("SWEEP_MODEL_NORMALS", "0") == "1"}
+                         str(extra.get("model_normals",
+                                       os.environ.get("SWEEP_MODEL_NORMALS",
+                                                      "0"))) == "1"}
         scheme = str(extra.get("scheme",
                                os.environ.get("SWEEP_SCHEME",
                                               "geman_mcclure")))
@@ -109,13 +111,21 @@ def variant_cfg(iters, reassoc, wr, wc, motion=0.0, extra=None):
         max_num_alignments=iters, reassoc_every=reassoc,
         reassoc_motion_m=motion,
         local_map=local_map,
-        alignment={"gauss_newton_config": {
-            "scheme": scheme, "sigma": sigma, "max_iters": 1,
-            "sigma_start": float(extra.get(
-                "sigma_start", os.environ.get("SWEEP_SIGMA_START", "0.0"))),
-            "sigma_anneal_iters":
-                int(extra.get("anneal",
-                              os.environ.get("SWEEP_ANNEAL_ITERS", "0")))}},
+        alignment={
+            "mode": str(extra.get("mode", "point_to_plane_gauss_newton")),
+            "gauss_newton_config": {
+                "scheme": scheme, "sigma": sigma, "max_iters": 1,
+                "sigma_start": float(extra.get(
+                    "sigma_start",
+                    os.environ.get("SWEEP_SIGMA_START", "0.0"))),
+                "sigma_anneal_iters":
+                    int(extra.get("anneal",
+                                  os.environ.get("SWEEP_ANNEAL_ITERS", "0"))),
+                "max_dist_to_plane": float(extra.get("mdp", "0.0")),
+                "beta_constant_velocity": float(extra.get("bcv", "0.0")),
+                "beta_small_velocity": float(extra.get("bsv", "0.0")),
+                "beta_orientation_consistency":
+                    float(extra.get("boc", "0.0"))}},
         num_points_padded=66560 if FORMAT == "rimg8" else 65536,
         data_key="numpy_pc", batch_size=BATCH, upload_format=FORMAT)
 

@@ -101,6 +101,13 @@ def test_ct_profiles_compose(monkeypatch):
             assert od["local_map"]["window_cols"] == exp["window_cols"], name
         if "max_nd" in exp:
             assert od["local_map"]["max_neighbor_dist"] == exp["max_nd"], name
+        # Every profile carries the pyct_icp solver option surface
+        # (plane-residual gate + at least one beta prior).
+        gn = od["alignment"]["gauss_newton_config"]
+        assert gn.get("max_dist_to_plane", 0) > 0, name
+        assert any(gn.get(k, 0) > 0 for k in (
+            "beta_location_consistency", "beta_constant_velocity",
+            "beta_small_velocity", "beta_orientation_consistency")), name
 
 
 def test_elastic_odometry_reports_selected_pose_type():
@@ -137,3 +144,95 @@ def test_elastic_odometry_reports_selected_pose_type():
     # the sequence moves ~0.5 m/frame: the three surfaces must differ
     assert not np.allclose(mid, begin, atol=1e-6)
     assert not np.allclose(end, mid, atol=1e-6)
+
+
+# ----------------------------------------------------------------------------
+# CT solver option surface (pyct_icp CTICPOptions equivalents:
+# max_dist_to_plane gate + beta pose priors -- ct_icp_odometry.py:57-160)
+# ----------------------------------------------------------------------------
+
+def _run_elastic(gn_extra, frames=5, init=None, fixed_init=None,
+                 odo_extra=None):
+    from pylidar_slam_tpu.dataset.synthetic import (SyntheticConfig,
+                                                    SyntheticDatasetLoader)
+    from pylidar_slam_tpu.slam.odometry.icp_odometry import (
+        ICPFrameToModel, ICPFrameToModelConfig)
+    loader = SyntheticDatasetLoader(SyntheticConfig(
+        lidar_height=16, lidar_width=128, num_frames=frames, num_walls=12,
+        num_pillars=8))
+    seq = loader.sequences()[0][0][0]
+    gn = {"scheme": "geman_mcclure", "sigma": 0.5}
+    gn.update(gn_extra)
+    cfg = ICPFrameToModelConfig(
+        max_num_alignments=4, num_points_padded=4096, data_key="numpy_pc",
+        local_map={"type": "aggregated_local_map", "local_map_size": 10},
+        alignment={"elastic": True, "gauss_newton_config": gn},
+        **(odo_extra or {}))
+    odom = ICPFrameToModel(cfg, projector=loader.projector())
+    odom.init()
+    last = np.eye(4, dtype=np.float32) if init is None else init
+    for i in range(frames):
+        d = {"numpy_pc": seq[i]["numpy_pc"],
+             "init_rpose": last if fixed_init is None else fixed_init}
+        odom.process_next_frame(d)
+        last = d.get("odometry_pose", last)
+    return odom.get_relative_poses()
+
+
+def test_gn_prior_terms_solve_exactly():
+    """With no data residuals, the prior terms ARE the solve: dx == -d
+    (h = diag(w), g = w d -- identity-Jacobian quadratic prior)."""
+    import jax.numpy as jnp
+
+    from pylidar_slam_tpu.ops import optimization
+    res = jnp.zeros((8,))
+    jac = jnp.zeros((8, 6))
+    w = jnp.zeros((8,))
+    d = jnp.array([0.1, -0.2, 0.3, 0.01, -0.02, 0.03])
+    pw = jnp.full((6,), 5.0)
+    dx, _, singular = optimization.gauss_newton_step(
+        res, jac, w, prior_res=d, prior_weight=pw)
+    assert not bool(singular)
+    np.testing.assert_allclose(np.asarray(dx), -np.asarray(d), atol=1e-6)
+
+
+def test_beta_small_velocity_pins_motion():
+    """An overwhelming small-velocity prior must pin the solved motion at
+    (near) zero even though the scene moves ~1 m/frame -- proof the beta
+    term enters the normal equations with the intended geometry."""
+    free = _run_elastic({})
+    pinned = _run_elastic({"beta_small_velocity": 1.0e6})
+    free_motion = np.linalg.norm(free[1:, :3, 3], axis=1).mean()
+    pinned_motion = np.linalg.norm(pinned[1:, :3, 3], axis=1).mean()
+    assert free_motion > 0.3  # the sequence really moves
+    assert pinned_motion < 0.05 * free_motion
+
+
+def test_beta_constant_velocity_pulls_to_prior():
+    """An overwhelming constant-velocity prior keeps the solution at the
+    caller-supplied init pose (the CV-extrapolated prior)."""
+    prior = np.eye(4, dtype=np.float32)
+    prior[0, 3] = 0.7
+    pulled = _run_elastic({"beta_constant_velocity": 1.0e6},
+                          fixed_init=prior)
+    # every registered frame: solved pose == the supplied prior, not the
+    # data fit (the free run tracks ~0.35 m/frame on this sequence)
+    np.testing.assert_allclose(pulled[1:, 0, 3], 0.7, atol=0.02)
+
+
+def test_max_dist_to_plane_gates_all_when_tiny():
+    """A vanishing plane-residual gate rejects every correspondence: the GN
+    system goes singular and ICP must keep the init pose (identity) rather
+    than stepping on garbage."""
+    gated = _run_elastic({"max_dist_to_plane": 1.0e-7},
+                         odo_extra={"ei_bootstrap": False})
+    np.testing.assert_allclose(gated[1:], np.broadcast_to(
+        np.eye(4), gated[1:].shape), atol=1e-5)
+
+
+def test_max_dist_to_plane_wide_gate_is_noop():
+    """A gate wider than any residual leaves the trajectory unchanged --
+    the option surface costs nothing when inactive."""
+    base = _run_elastic({})
+    wide = _run_elastic({"max_dist_to_plane": 1.0e4})
+    np.testing.assert_allclose(wide, base, atol=1e-6)
