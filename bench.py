@@ -73,22 +73,13 @@ def load_frames():
     return frames, loader, "synthetic-kitti64x1024"
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from pylidar_slam_tpu.slam.odometry.icp_odometry import (
-        ICPFrameToModel, ICPFrameToModelConfig)
-
-    frames, loader, source = load_frames()
-    proj = loader.projector()
-    # Codec rule (docs/benchmark.md format-vs-jitter table): rimg8's
-    # per-row/per-col mean offsets are exact ONLY on a grid-regular firing
-    # pattern; real sensors (KITTI's de-calibrated HDL-64E) need the
-    # per-pixel offsets of rimg (3 B/px).  The default follows the loader's
-    # declared sensor reality; BENCH_FORMAT still overrides explicitly.
-    bench_format = os.environ.get(
-        "BENCH_FORMAT", "rimg8" if loader.grid_regular else "rimg")
+def build_icp_config(bench_map: str, bench_format: str):
+    """The recorded bench configuration, exposed as a function so
+    tests/test_reference_parity.py can assert it equals the acceptance
+    champion (eval/acceptance.py) -- the fixture accuracy claim is about
+    THIS config."""
+    from pylidar_slam_tpu.slam.odometry.icp_odometry import \
+        ICPFrameToModelConfig
 
     # The tuned accuracy configuration (meets the BASELINE accuracy bar):
     # geman_mcclure-weighted GN on FULL-density rimg8 input (0.1439% tr_err
@@ -96,11 +87,6 @@ def main():
     # dense clouds, the reverse holds on grid-sampled input), reassociation
     # every 4 iterations (measured BOTH faster and more accurate than every
     # 2 -- round-2 sweep).
-    # BENCH_MAP selects the local-map backend the driver records:
-    #   aggregated (default) -- the image-space throughput flagship;
-    #   kdtree -- the surfel ring map accuracy champion (exact NN);
-    #   voxel -- the persistent voxel-table map (memory-lean exact NN).
-    bench_map = os.environ.get("BENCH_MAP", "aggregated")
     if bench_map == "kdtree":
         local_map = {"type": "kdtree_local_map",
                      "local_map_size": 30, "points_per_frame": 4096,
@@ -115,9 +101,12 @@ def main():
     else:
         local_map = {"type": "aggregated_local_map", "local_map_size": 20,
                      "window_rows": 1, "window_cols": 2,
-                     "max_neighbor_dist": 0.6,
-                     "model_normals": os.environ.get(
-                         "BENCH_MODEL_NORMALS", "0") == "1"}
+                     "max_neighbor_dist": 0.6}
+        # Key added only when enabled so the default config compares equal
+        # to acceptance.champion_configs()["aggregated"] (pinned by
+        # tests/test_reference_parity.py::test_bench_config_is_the_champion).
+        if os.environ.get("BENCH_MODEL_NORMALS", "0") == "1":
+            local_map["model_normals"] = True
     icp_cfg = ICPFrameToModelConfig(
         # Motion-gated schedule (docs/benchmark.md round-3 sweep): 8 GN
         # iterations, periodic reassociation off, re-rasterize when the pose
@@ -136,8 +125,12 @@ def main():
             "scheme": os.environ.get(
                 "BENCH_SCHEME",
                 "neighborhood" if bench_map == "kdtree" else "geman_mcclure"),
+            # sigma 0.4 for the image-space maps: the round-5 device grid
+            # halved fixture tr_err (0.1710% -> 0.0861%) with this single
+            # knob -- under the kd-tree-champion bar (0.1115%), making the
+            # throughput flagship ALSO the accuracy config.
             "sigma": float(os.environ.get(
-                "BENCH_SIGMA", "0.2" if bench_map == "kdtree" else "0.3")),
+                "BENCH_SIGMA", "0.2" if bench_map == "kdtree" else "0.4")),
             "max_iters": 1}},
         # 65536 covers grid-sampled scans with headroom (synthetic ~32k,
         # KITTI at 0.15 m ~50k); power-of-2 tiles measurably better than
@@ -158,6 +151,30 @@ def main():
         # BENCH_FORMAT=packed/f32 + BENCH_VOXEL=0.15 revert.
         upload_format=bench_format,
     )
+    return icp_cfg
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pylidar_slam_tpu.slam.odometry.icp_odometry import ICPFrameToModel
+
+    frames, loader, source = load_frames()
+    proj = loader.projector()
+    # Codec rule (docs/benchmark.md format-vs-jitter table): rimg8's
+    # per-row/per-col mean offsets are exact ONLY on a grid-regular firing
+    # pattern; real sensors (KITTI's de-calibrated HDL-64E) need the
+    # per-pixel offsets of rimg (3 B/px).  The default follows the loader's
+    # declared sensor reality; BENCH_FORMAT still overrides explicitly.
+    bench_format = os.environ.get(
+        "BENCH_FORMAT", "rimg8" if loader.grid_regular else "rimg")
+    # BENCH_MAP selects the local-map backend the driver records:
+    #   aggregated (default) -- the image-space throughput flagship;
+    #   kdtree -- the surfel ring map accuracy champion (exact NN);
+    #   voxel -- the persistent voxel-table map (memory-lean exact NN).
+    bench_map = os.environ.get("BENCH_MAP", "aggregated")
+    icp_cfg = build_icp_config(bench_map, bench_format)
     odom = ICPFrameToModel(icp_cfg, projector=proj)
     odom.init()
 
@@ -239,7 +256,11 @@ def main():
     # is the honest steady-state throughput of the pipeline itself.
     bench_frames = frames[WARMUP:] if len(frames) > WARMUP else frames
     bench_frames = bench_frames[:max(BATCH, len(bench_frames) // BATCH * BATCH)]
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    # 5 repeats (was 3): the tunneled chip shows sporadic multi-x stalls --
+    # with 3 repeats a single stalled repeat drags the reported MEDIAN below
+    # steady state (measured 193.95 median on a [194, 148, 221] run); with 5
+    # the median tolerates two stalls.  Each extra repeat costs ~1.5 s.
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     rates = []
     phase_stats = []  # per-repeat: where the pipeline thread's time went
     for _ in range(repeats):

@@ -42,15 +42,22 @@ def champion_configs():
                                                "sigma": 0.2,
                                                "max_iters": 1}},
             num_points_padded=65536, data_key="numpy_pc"),
+        # Aggregated champion == the bench.py recorded config, exactly:
+        # motion-gated schedule (8 GN iters, reassociate on >0.2 m motion),
+        # geman_mcclure sigma 0.4 (round-5 device grid: 0.0861% vs 0.1710%
+        # at sigma 0.3+12/4 schedule -- the single-knob winner; every
+        # combination tried scored worse), batched rimg8 upload path
+        # (2 B/px z-buffered ranges, the same bytes the bench ships).
         "aggregated": ICPFrameToModelConfig(
-            max_num_alignments=12, reassoc_every=4,
+            max_num_alignments=8, reassoc_every=8, reassoc_motion_m=0.2,
             local_map={"type": "aggregated_local_map", "local_map_size": 20,
                        "window_rows": 1, "window_cols": 2,
                        "max_neighbor_dist": 0.6},
             alignment={"gauss_newton_config": {"scheme": "geman_mcclure",
-                                               "sigma": 0.3,
+                                               "sigma": 0.4,
                                                "max_iters": 1}},
-            num_points_padded=65536, data_key="numpy_pc"),
+            num_points_padded=66560, batch_size=12, upload_format="rimg8",
+            data_key="numpy_pc"),
     }
 
 

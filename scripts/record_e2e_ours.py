@@ -63,6 +63,9 @@ def main():
             d = {"numpy_pc": pc, "init_rpose": last}
             odom.process_next_frame(d)
             last = d.get("odometry_pose", last)
+        # The aggregated champion batches device steps (batch_size=12, the
+        # bench pipeline); finish() dispatches the final partial batch.
+        odom.finish()
         traj = compute_absolute_poses(odom.get_relative_poses())
         tr_err, rot_err, _ = compute_kitti_metrics(traj, gt)
         print(f"{name}: tr_err={tr_err:.6f} rot_err={rot_err:.4g} "

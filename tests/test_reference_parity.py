@@ -15,6 +15,7 @@ Intentional, documented differences:
   * normals: solve families agree; signs are arbitrary on both sides, so
     direction parity is |cos| ~ 1.
 """
+import os
 from pathlib import Path
 
 import numpy as np
@@ -157,8 +158,9 @@ OURS_FIXTURE = Path(__file__).parent / "fixtures" / "ours_e2e.npz"
 
 
 def test_e2e_accuracy_vs_reference_projective(e2e):
-    """Aggregated-map odometry (our projective-class flagship: geman_mcclure
-    on dense full clouds, 12 iters) vs the reference's projective F2M run on
+    """Aggregated-map odometry (our throughput flagship: geman_mcclure 0.4
+    on dense full clouds, motion-gated 8-iter schedule, rimg8 upload -- the
+    EXACT bench.py recorded config) vs the reference's projective F2M run on
     the SAME sequence: within 0.1pt absolute tr_err (reference
     icp_odometry.py:248-299 + local_map.py:91-240, recorded by
     scripts/generate_reference_e2e.py).
@@ -186,6 +188,48 @@ def test_e2e_accuracy_vs_reference_projective(e2e):
     assert tr_err <= ref + 0.001, (
         f"ours {tr_err:.6f} vs reference projective {ref:.6f} "
         f"(+0.1pt bar {ref + 0.001:.6f})")
+
+
+def test_bench_config_is_the_champion(monkeypatch):
+    """The config bench.py times (and the driver records) must BE the
+    config whose recorded trajectory the accuracy tests verify -- otherwise
+    the two north-star clauses could be met by different configs without
+    any test noticing.  Asserts structural equality under default env."""
+    import bench
+
+    for k in list(os.environ):
+        if k.startswith("BENCH_"):
+            monkeypatch.delenv(k)
+    from pylidar_slam_tpu.eval import acceptance
+    champ = acceptance.champion_configs()["aggregated"]
+    got = bench.build_icp_config("aggregated", "rimg8")
+    assert got == champ, (
+        "bench.py's recorded aggregated config no longer matches "
+        "acceptance.champion_configs()['aggregated'] -- re-align them and "
+        "re-record the fixture (scripts/record_e2e_ours.py)")
+
+
+def test_e2e_bench_config_meets_kdtree_bar(e2e):
+    """North-star: ONE config meets BOTH clauses against the reference's
+    BEST mode.  The aggregated trajectory in ours_e2e.npz is recorded at the
+    exact bench.py config (equality pinned by
+    test_bench_config_is_the_champion; staleness by the code stamp); the
+    driver measures that config at >=200 scans/s (BENCH_r05.json), and this
+    test pins its accuracy within 0.1pt absolute of the reference's kd-tree
+    CHAMPION (not merely its projective class) on the same 140-frame
+    sequence (reference local_map.py:244-446, the winner of the reference's
+    own benchmark)."""
+    from pylidar_slam_tpu.eval.eval_odometry import compute_kitti_metrics
+
+    assert OURS_FIXTURE.exists(), (
+        "missing fixture -- run scripts/record_e2e_ours.py (on the TPU)")
+    ours = np.load(OURS_FIXTURE)
+    traj = ours["aggregated_trajectory"]
+    tr_err, _, _ = compute_kitti_metrics(traj, ours["gt_absolute"])
+    ref_best = float(e2e["kdtree_tr_err"])
+    assert tr_err <= ref_best + 0.001, (
+        f"bench config {tr_err:.6f} vs reference kd-tree champion "
+        f"{ref_best:.6f} (+0.1pt bar {ref_best + 0.001:.6f})")
 
 
 def test_e2e_accuracy_vs_reference_kdtree(e2e):
