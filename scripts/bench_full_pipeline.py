@@ -19,8 +19,12 @@ Usage:  python scripts/bench_full_pipeline.py
 Env:    FP_FRAMES (default 250), FP_BATCH (12), FP_WARMUP_FRAMES (48),
         FP_COOLDOWN_FRAMES (48),
         FP_SPEED (0.5 -- keeps 250 frames inside the +/-120 m wall field),
-        FP_ITERS/FP_REASSOC/FP_MOTION (GN schedule; defaults to the round-2
-        12/4 schedule, FP_ITERS=8 FP_REASSOC=8 FP_MOTION=0.2 for the gate).
+        FP_ITERS/FP_REASSOC/FP_MOTION/FP_SIGMA (GN schedule; defaults to
+        the bench.py champion: motion-gated 8/8 at 0.2 m, sigma 0.4),
+        FP_REPEATS (5 -- per-run rates + median; the tunneled chip shows
+        sporadic stalls, a single run is not a number),
+        FP_OUT (path -- also write the summary JSON as an artifact, e.g.
+        FULLPIPE_r05.json).
 """
 import json
 import os
@@ -39,23 +43,11 @@ COOLDOWN = int(os.environ.get("FP_COOLDOWN_FRAMES", "48"))
 SPEED = float(os.environ.get("FP_SPEED", "0.5"))
 
 
-def main():
+def run_once(seq, loader):
     from pathlib import Path as _P
 
     from pylidar_slam_tpu.config import compose, dataclass_from_dict
-    from pylidar_slam_tpu.dataset.synthetic import (SyntheticConfig,
-                                                    SyntheticDatasetLoader)
     from pylidar_slam_tpu.slam.slam import SLAM, SLAMConfig
-
-    loader = SyntheticDatasetLoader(SyntheticConfig(
-        lidar_height=64, lidar_width=1024, num_frames=FRAMES,
-        num_walls=40, num_pillars=25, speed=SPEED))
-    lazy_seq = loader.sequences()[0][0][0]
-    # Pre-materialize: the synthetic raycaster costs ~290 ms/frame -- lazily
-    # generating inside the timed loop measures the data GENERATOR, not the
-    # pipeline (a disk-backed dataset reads frames in ~1 ms).  This exact
-    # mistake capped earlier full-pipeline numbers at ~3 scans/s.
-    seq = [dict(lazy_seq[i]) for i in range(FRAMES)]
 
     config_dir = _P(__file__).parent.parent / "config"
     cfg = compose(str(config_dir), "slam", [
@@ -67,11 +59,15 @@ def main():
         f"slam.odometry.batch_size={BATCH}",
         "slam.odometry.upload_format=rimg8",
         "slam.odometry.num_points_padded=66560",
-        f"slam.odometry.reassoc_every={os.environ.get('FP_REASSOC', '4')}",
-        f"slam.odometry.max_num_alignments={os.environ.get('FP_ITERS', '12')}",
-        f"slam.odometry.reassoc_motion_m={os.environ.get('FP_MOTION', '0.0')}",
+        # Default schedule == the bench.py / acceptance champion (motion-
+        # gated 8 iters at 0.2 m, geman_mcclure sigma 0.4) so the product
+        # number is measured at the recorded odometry config.
+        f"slam.odometry.reassoc_every={os.environ.get('FP_REASSOC', '8')}",
+        f"slam.odometry.max_num_alignments={os.environ.get('FP_ITERS', '8')}",
+        f"slam.odometry.reassoc_motion_m={os.environ.get('FP_MOTION', '0.2')}",
         "slam.odometry.alignment.gauss_newton_config.scheme=geman_mcclure",
-        "slam.odometry.alignment.gauss_newton_config.sigma=0.3",
+        "slam.odometry.alignment.gauss_newton_config.sigma="
+        + os.environ.get("FP_SIGMA", "0.4"),
     ])["slam"]
     slam = SLAM(dataclass_from_dict(SLAMConfig, cfg),
                 projector=loader.projector())
@@ -138,7 +134,7 @@ def main():
 
     pipe = dict(getattr(slam.odometry, "pipe_stats", {}))
     n_fl = max(1, int(pipe.get("flushes", 0)))
-    print(json.dumps({
+    return {
         "metric": "full pipeline (odometry+LC+backend) steady-state",
         "value": round(rate, 1), "unit": "scans/sec",
         "timed_frames": timed, "batch": BATCH,
@@ -158,7 +154,40 @@ def main():
                               "process": round(1e3 * t_proc / timed, 2),
                               "cooldown_frames": FRAMES - cool_at,
                               "finish_total_s": round(t_finish, 2)},
-    }))
+    }
+
+
+def main():
+    from pylidar_slam_tpu.dataset.synthetic import (SyntheticConfig,
+                                                    SyntheticDatasetLoader)
+
+    loader = SyntheticDatasetLoader(SyntheticConfig(
+        lidar_height=64, lidar_width=1024, num_frames=FRAMES,
+        num_walls=40, num_pillars=25, speed=SPEED))
+    lazy_seq = loader.sequences()[0][0][0]
+    # Pre-materialize: the synthetic raycaster costs ~290 ms/frame -- lazily
+    # generating inside the timed loop measures the data GENERATOR, not the
+    # pipeline (a disk-backed dataset reads frames in ~1 ms).  This exact
+    # mistake capped earlier full-pipeline numbers at ~3 scans/s.
+    seq = [dict(lazy_seq[i]) for i in range(FRAMES)]
+
+    repeats = int(os.environ.get("FP_REPEATS", "5"))
+    runs = [run_once(seq, loader) for _ in range(repeats)]
+    rates = sorted(r["value"] for r in runs)
+    median = rates[len(rates) // 2] if repeats % 2 else round(
+        0.5 * (rates[repeats // 2 - 1] + rates[repeats // 2]), 1)
+    # The summary carries the MEDIAN as the headline (robust to the tunneled
+    # chip's sporadic stalls) plus every per-run rate, and the per-stage
+    # breakdown of the median run so the artifact explains its own number.
+    med_run = min(runs, key=lambda r: abs(r["value"] - median))
+    summary = dict(med_run)
+    summary["value"] = median
+    summary["runs"] = [r["value"] for r in runs]
+    summary["repeats"] = repeats
+    out = os.environ.get("FP_OUT", "")
+    if out:
+        Path(out).write_text(json.dumps(summary, indent=1) + "\n")
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -40,6 +40,55 @@ def test_unsupervised_training(tmp_path):
     assert np.isfinite(avg)
 
 
+def test_posenet_odometry_beats_identity_baseline(tmp_path):
+    """The PoseNet track produces USABLE odometry, not just decreasing loss:
+    train supervised on a 40-frame synthetic sequence (32x128 projections),
+    run posenet_odometry inference over the same sequence, and require the
+    trajectory ATE to beat the identity baseline (all relative poses = I,
+    trajectory pinned at the origin) by at least 3x.  Calibration (CPU,
+    deterministic seeds): 10 epochs -> ATE 1.15 vs identity 21.4 (18x);
+    the 3x bar leaves margin for optimizer jitter.  Capability match of
+    reference trainer.py + posenet_odometry.py:20-122 (whose KITTI-trained
+    nets likewise beat trivial baselines, s.py benchmark)."""
+    frames, h, w = 40, 32, 128
+    epochs = 8
+    trainer = train_mod.build_trainer(compose("config", "train_posenet", [
+        "dataset=synthetic", f"dataset.num_frames={frames}",
+        f"dataset.lidar_height={h}", f"dataset.lidar_width={w}",
+        f"num_epochs={epochs}", "batch_size=8", "num_points_padded=4096",
+        "average_meter_frequency=5", f"train_dir={tmp_path}/train"]))
+    trainer.init()
+    trainer.train(epochs)
+
+    from pylidar_slam_tpu.eval.eval_odometry import compute_absolute_poses
+    from pylidar_slam_tpu.slam.odometry.posenet_odometry import (
+        PoseNetOdometry, PoseNetOdometryConfig)
+
+    seq = trainer.dataset_loader.sequences()[0][0][0]
+    gt = np.stack([np.asarray(seq[i]["absolute_pose_gt"], np.float64)
+                   for i in range(frames)])
+    gt = np.linalg.inv(gt[0]) @ gt
+
+    odom = PoseNetOdometry(PoseNetOdometryConfig(
+        train_dir=str(tmp_path / "train"), num_points_padded=4096))
+    odom.init()
+    for i in range(frames):
+        odom.process_next_frame(
+            {"numpy_pc": np.asarray(seq[i]["numpy_pc"], np.float32)})
+    traj = compute_absolute_poses(odom.get_relative_poses())
+
+    def ate(t):
+        return float(np.linalg.norm(
+            t[:, :3, 3] - gt[:, :3, 3], axis=1).mean())
+
+    identity_ate = ate(np.broadcast_to(np.eye(4), gt.shape))
+    posenet_ate = ate(traj)
+    assert posenet_ate < identity_ate / 3.0, (
+        f"PoseNet ATE {posenet_ate:.3f} does not beat identity baseline "
+        f"{identity_ate:.3f} by 3x -- the deep track is not learning "
+        f"usable odometry")
+
+
 def test_posenet_odometry_from_checkpoint(tmp_path):
     trainer = train_mod.build_trainer(_cfg(tmp_path, []))
     trainer.init()
