@@ -70,15 +70,34 @@ def build_odometry(name: str):
     return ICPFrameToModel(cfg, projector=proj)
 
 
+def _pallas_kernel_ast_stamp() -> bytes:
+    """AST dump of the Pallas kernel modules on a champion path.
+
+    jaxpr tracing runs with the exact-NN kernel pinned to its XLA fallback
+    (see code_stamp), so edits INSIDE the Pallas kernel body would
+    otherwise be invisible to the stamp while the device-recorded fixture
+    silently drifted (the covering equivalence tests run the kernel in
+    interpret mode only).  Hashing the module's AST closes that hole:
+    whitespace/comment edits keep the stamp, any code change (incl.
+    docstrings -- rare, acceptable) forces a re-record.
+    """
+    import ast
+    from pathlib import Path
+
+    src = (Path(__file__).parent.parent / "ops" / "pallas"
+           / "nn_kernel.py").read_text()
+    return ast.dump(ast.parse(src)).encode()
+
+
 def code_stamp() -> str:
     """Hash of the champion configs' traced per-frame computations.
 
     Traced platform-stably: x64 DISABLED (the test harness enables it, the
     recording device doesn't -- weak-typed constants would trace to
     different dtypes) and the exact-NN kernel pinned to its XLA fallback
-    (Pallas-vs-XLA is a trace-time backend branch computing the same 1-NN;
-    consequence: edits INSIDE the Pallas kernel body don't change the stamp
-    -- they are covered by tests/test_pallas_kernels.py equivalence instead).
+    (Pallas-vs-XLA is a trace-time backend branch computing the same 1-NN).
+    The Pallas kernel body itself is covered by its module AST
+    (_pallas_kernel_ast_stamp).
     """
     import os
 
@@ -86,6 +105,7 @@ def code_stamp() -> str:
     import jax.numpy as jnp
 
     h = hashlib.sha256()
+    h.update(_pallas_kernel_ast_stamp())
     os.environ["PLS_TPU_FORCE_XLA_NN"] = "1"
     try:
         with jax.enable_x64(False):
