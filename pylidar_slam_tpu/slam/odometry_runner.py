@@ -253,8 +253,14 @@ class SLAMRunner:
             viz3d.write_ply(str(self.log_dir / f"{seq_name}_map.ply"), cloud)
             viz3d.render_map_views(str(self.log_dir / seq_name), cloud,
                                    absolutes)
-            logger.info("Saved %s map PLY + rendered views (%d points)",
-                        seq_name, cloud.shape[0])
+            # Interactive 3D (reference's viz3d OpenGL windows, delivered
+            # headless as a self-contained WebGL artifact).
+            from pylidar_slam_tpu.viz.html_viewer import write_html_viewer
+            write_html_viewer(str(self.log_dir / f"{seq_name}_map.html"),
+                              cloud, trajectory=absolutes,
+                              title=f"{seq_name} map")
+            logger.info("Saved %s map PLY + rendered views + HTML viewer "
+                        "(%d points)", seq_name, cloud.shape[0])
         except Exception as e:  # viz must never fail a run
             logger.error("Map dump failed for %s: %s", seq_name, e)
 

@@ -36,6 +36,11 @@ def main(argv=None):
                              "previous run (odometry_runner); restores the "
                              "submap state so the replay resumes with its "
                              "loop-closure context")
+    parser.add_argument("--html", default="",
+                        help="Write an interactive WebGL viewer (map + "
+                             "trajectory) of the replayed window to this "
+                             "path (reference replay.py:114-121's viz3d "
+                             "window, delivered as a standalone artifact)")
     parser.add_argument("overrides", nargs="*", default=[])
     args = parser.parse_args(argv)
 
@@ -65,12 +70,26 @@ def main(argv=None):
             "--lc_state given but the replayed config has no loop closure"
         slam.loop_closure.load_state(args.lc_state)
         logging.info("restored loop-closure state from %s", args.lc_state)
+    clouds = []
     for i in range(len(window)):
-        slam.process_next_frame(window[i])
+        frame = window[i]
+        if args.html and "numpy_pc" in frame:
+            clouds.append(np.asarray(frame["numpy_pc"], np.float32)[:, :3])
+        slam.process_next_frame(frame)
         if (i + 1) % 50 == 0:
             logging.info("replayed %d / %d frames", i + 1, len(window))
 
     relative = slam.get_relative_poses()
+    if args.html and clouds:
+        from pylidar_slam_tpu.viz.html_viewer import write_html_viewer
+        from pylidar_slam_tpu.viz.viz3d import aggregate_map_cloud
+        absolutes = [np.eye(4)]
+        for rel in relative[1:]:
+            absolutes.append(absolutes[-1] @ np.asarray(rel, np.float64))
+        cloud = aggregate_map_cloud(clouds, relative)
+        write_html_viewer(args.html, cloud, trajectory=np.stack(absolutes),
+                          title=f"replay {args.sequence}")
+        logging.info("wrote interactive viewer -> %s", args.html)
     out_file = Path(args.root_dir) / f"replay_{args.sequence}.poses.txt"
     np.savetxt(str(out_file), relative[:, :3, :].reshape(len(relative), 12))
     logging.info("Replay done: %d poses -> %s", len(relative), out_file)
