@@ -88,6 +88,50 @@ def compute_normal_map(vertex_map: jnp.ndarray, kernel_size: int = 5) -> jnp.nda
     return jnp.where(null_pixel, 0.0, n)
 
 
+def compute_normal_map_centered(vertex_map: jnp.ndarray,
+                                kernel_size: int = 5,
+                                min_neighbors: int = 3) -> jnp.ndarray:
+    """Window plane fit via the CENTERED covariance -- f32-robust at range.
+
+    :func:`compute_normal_map` solves the reference's uncentered system
+    ``(sum v v^T) n = sum v`` (geometry.py:240-295), whose entries scale with
+    range^2: at r ~ 100 m the f32 rounding of the window sums (~N r^2 eps)
+    rivals the window's actual surface-curvature signal, and the resulting
+    normal noise differs by platform reduction order.  Here each window's
+    vertices are centered on the window mean BEFORE the outer products --
+    covariance entries scale with the window's spatial SPREAD, not its
+    range -- and the normal is the smallest eigenvector (the same fit as
+    :func:`knn_plane_normals`).  Cost: k^2 static shifted elementwise passes
+    (VPU work, no gathers); use for map-quality normals where accuracy
+    matters more than the one-pass box filter.
+    """
+    h, w, _ = vertex_map.shape
+    pad = kernel_size // 2
+    valid = (jnp.linalg.norm(vertex_map, axis=-1) > 0)
+    vw = vertex_map * valid[..., None]
+
+    cnt = box_filter(valid[..., None].astype(vertex_map.dtype),
+                     kernel_size)[..., 0]
+    mean = box_filter(vw, kernel_size) / jnp.maximum(cnt, 1.0)[..., None]
+
+    vp = jnp.pad(vw, ((pad, pad), (pad, pad), (0, 0)))
+    mp = jnp.pad(valid, ((pad, pad), (pad, pad)))
+    cov = jnp.zeros((h, w, 3, 3), vertex_map.dtype)
+    for dr in range(kernel_size):
+        for dc in range(kernel_size):
+            u = vp[dr:dr + h, dc:dc + w] - mean
+            u = u * mp[dr:dr + h, dc:dc + w, None]
+            cov = cov + u[..., :, None] * u[..., None, :]
+    n = smallest_eigenvector_3x3(cov / jnp.maximum(cnt, 1.0)[..., None, None])
+
+    ok = valid & (cnt >= min_neighbors)
+    # Match compute_normal_map's orientation convention (away from the
+    # sensor: n . v = 1 plane solutions point along +v for v near the plane).
+    flip = jnp.sum(n * vertex_map, axis=-1, keepdims=True) < 0
+    n = jnp.where(flip, -n, n)
+    return jnp.where(ok[..., None], n, 0.0)
+
+
 def smallest_eigenvector_3x3(m: jnp.ndarray,
                              eps: float = 1.0e-9) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue of batched symmetric

@@ -63,6 +63,11 @@ class AggregatedLocalMapConfig(LocalMapConfig):
     # normals_mode=knn: 0.1155% -> 0.0155%).  One extra conv-window
     # covariance solve per insert.
     model_normals: bool = False
+    # Window plane-fit numerics: "plane" = the reference's uncentered
+    # (sum v v^T) n = sum v solve (geometry.py:240-295); "centered" =
+    # mean-centered covariance + smallest eigenvector
+    # (ops/geometry.py::compute_normal_map_centered), f32-robust at range.
+    normals_fit: str = "plane"
 
 
 LOCAL_MAP.register("aggregated_local_map", object, AggregatedLocalMapConfig)
@@ -126,16 +131,23 @@ def rasterize_encoded(points: jnp.ndarray,
     return idx, hit
 
 
+def _normal_fit_fn(normals_fit: str):
+    if normals_fit == "centered":
+        return geometry.compute_normal_map_centered
+    return geometry.compute_normal_map
+
+
 def build_scan_images(points: jnp.ndarray,
                       mask: jnp.ndarray,
                       proj: projection.SphericalProjection,
-                      normals_kernel_size: int = 5):
+                      normals_kernel_size: int = 5,
+                      normals_fit: str = "plane"):
     """Rasterizes a scan -> (vertex map, normal map, range image), (H, W, *)."""
     h, w = proj.height, proj.width
     idx, hit = rasterize_encoded(points, proj, mask)
     vmap = jnp.where(hit[:, None], jnp.take(points, idx, axis=0),
                      0.0).reshape(h, w, 3)
-    nmap = geometry.compute_normal_map(vmap, normals_kernel_size)
+    nmap = _normal_fit_fn(normals_fit)(vmap, normals_kernel_size)
     rimg = jnp.linalg.norm(vmap, axis=-1)
     return vmap, nmap, rimg
 
@@ -151,7 +163,8 @@ def insert_scan(state: AggMapState,
                 new_anchor_from_old_anchor: jnp.ndarray,
                 proj: projection.SphericalProjection,
                 max_age: int,
-                model_normals_kernel: int = 0) -> AggMapState:
+                model_normals_kernel: int = 0,
+                normals_fit: str = "plane") -> AggMapState:
     """Inserts a scan; the scan's frame becomes the new anchor.
 
     The old model is re-expressed in the new anchor frame, re-rasterized once,
@@ -192,7 +205,7 @@ def insert_scan(state: AggMapState,
         # Cross-frame normals: plane-fit windows over the MERGED model
         # (config flag model_normals).  Degenerate fits fall back to the
         # carried per-scan normal so sparse model regions stay usable.
-        fit = geometry.compute_normal_map(xyz, model_normals_kernel)
+        fit = _normal_fit_fn(normals_fit)(xyz, model_normals_kernel)
         good = jnp.max(jnp.abs(fit), axis=-1) > 0
         nrm = jnp.where(good[..., None], fit, nrm)
 
@@ -305,6 +318,7 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
     max_nd = float(map_cfg.max_neighbor_dist)
     nks = int(map_cfg.normals_kernel_size)
     model_nks = nks if bool(getattr(map_cfg, "model_normals", False)) else 0
+    nrm_fit = str(getattr(map_cfg, "normals_fit", "plane"))
 
     def dequant(points: jnp.ndarray, mask: jnp.ndarray):
         """Expands compact uploads (range-image uint8 / packed uint16 /
@@ -556,13 +570,15 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
                 # re-rasterization (one point per pixel, no collisions).
                 vmap = ins[: h * w].reshape(h, w, 3)
                 rimg = jnp.linalg.norm(vmap, axis=-1)
-                nmap = geometry.compute_normal_map(vmap, nks)
+                nmap = _normal_fit_fn(nrm_fit)(vmap, nks)
             else:
-                vmap, nmap, rimg = build_scan_images(ins, mask, proj, nks)
+                vmap, nmap, rimg = build_scan_images(ins, mask, proj, nks,
+                                                     normals_fit=nrm_fit)
             # new anchor = the new frame; old anchor -> new frame transform:
             new_from_old = se3.inverse_pose_matrix(t_final[None])[0]
             return insert_scan(st, vmap, nmap, rimg, new_from_old, proj,
-                               max_age, model_normals_kernel=model_nks)
+                               max_age, model_normals_kernel=model_nks,
+                               normals_fit=nrm_fit)
 
         def no_insert(st):
             return st._replace(anchor_from_cur=t_final)
@@ -576,12 +592,14 @@ def make_agg_icp_frame_step(proj: projection.SphericalProjection,
         if pixel_ordered:
             vmap = points[: h * w].reshape(h, w, 3)
             rimg = jnp.linalg.norm(vmap, axis=-1)
-            nmap = geometry.compute_normal_map(vmap, nks)
+            nmap = _normal_fit_fn(nrm_fit)(vmap, nks)
         else:
-            vmap, nmap, rimg = build_scan_images(points, mask, proj, nks)
+            vmap, nmap, rimg = build_scan_images(points, mask, proj, nks,
+                                                 normals_fit=nrm_fit)
         return insert_scan(state, vmap, nmap, rimg,
                            jnp.eye(4, dtype=points.dtype), proj, max_age,
-                           model_normals_kernel=model_nks)
+                           model_normals_kernel=model_nks,
+                           normals_fit=nrm_fit)
 
     def batch_step(state: AggMapState, delta_since_update: jnp.ndarray,
                    last_rpose: jnp.ndarray,

@@ -101,7 +101,10 @@ def variant_cfg(iters, reassoc, wr, wc, motion=0.0, extra=None):
                      "model_normals":
                          str(extra.get("model_normals",
                                        os.environ.get("SWEEP_MODEL_NORMALS",
-                                                      "0"))) == "1"}
+                                                      "0"))) == "1",
+                     "normals_fit":
+                         str(extra.get("nf",
+                                       os.environ.get("SWEEP_NF", "plane")))}
         scheme = str(extra.get("scheme",
                                os.environ.get("SWEEP_SCHEME",
                                               "geman_mcclure")))

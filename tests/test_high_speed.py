@@ -188,3 +188,46 @@ def test_informative_init_wins(fast_seq):
     supplied[0, 3] = 1.23
     out = odom._maybe_bootstrap({"numpy_pc": frames[1]}, supplied)
     np.testing.assert_allclose(np.asarray(out), supplied)
+
+
+@pytest.mark.slow
+def test_aggregated_highway_profile_meets_envelope_bar(fast_seq):
+    """The aggregated_highway profile holds the 2 m/frame 120 m envelope:
+    0.53% tr_err on the TPU (the target platform; envelope bar 0.8%, the
+    reference's own KITTI seq-01 is 0.79%, BASELINE.md), 0.85% on this CPU
+    harness -- the f32 window normal fits diverge by platform reduction
+    order, see docs/benchmark.md.  The lever is model NORMAL quality, not
+    association staleness: merged-model refits (`model_normals`) + the
+    centered f32-robust window solve (`normals_fit: centered`) + a shorter
+    model age; see config/slam/odometry/aggregated_highway.yaml.  The CPU
+    assertion pins regressions with a platform margin."""
+    from pylidar_slam_tpu.eval.eval_odometry import compute_kitti_metrics
+
+    frames_14, _ = fast_seq
+    del frames_14  # the tr_err metric needs >= 100 m: build the long run
+    n = 60
+    cfg = SyntheticConfig(lidar_height=64, lidar_width=1024,
+                          num_frames=n, num_walls=40, num_pillars=25,
+                          speed=SPEED)
+    seq = SyntheticSequence(cfg, "synth_hwy", seed=cfg.seed)
+    frames = [np.asarray(seq[i]["numpy_pc"], np.float32) for i in range(n)]
+    gt = np.stack([np.asarray(seq[i]["absolute_pose_gt"], np.float64)
+                   for i in range(n)])
+    gt = np.linalg.inv(gt[0]) @ gt
+
+    icp_cfg = ICPFrameToModelConfig(
+        max_num_alignments=12, reassoc_every=8, reassoc_motion_m=0.2,
+        local_map={"type": "aggregated_local_map", "local_map_size": 10,
+                   "window_rows": 1, "window_cols": 2,
+                   "max_neighbor_dist": 0.6, "model_normals": True,
+                   "normals_fit": "centered"},
+        alignment={"gauss_newton_config": {"scheme": "geman_mcclure",
+                                           "sigma": 0.4, "max_iters": 1}},
+        num_points_padded=66560, data_key="numpy_pc",
+        upload_format="rimg8", batch_size=12)
+    traj = _run(frames, icp_cfg, feed_init=False)
+    tr_err, _, _ = compute_kitti_metrics(traj, gt)
+    assert tr_err is not None
+    assert 100 * tr_err <= 0.95, \
+        f"highway profile tr_err {100 * tr_err:.3f}% at {SPEED} m/frame " \
+        f"(CPU pin 0.95; measured 0.85 CPU / 0.53 TPU at recording time)"

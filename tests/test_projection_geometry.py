@@ -349,3 +349,45 @@ def test_rimg12_roundtrip():
     # 1.5 cm range rounding + ~1/256 px plane-mean angular at <= 110 m
     assert d.max() < 0.035, d.max()
     assert np.median(d) < 0.012, np.median(d)
+
+
+def test_centered_normal_fit_is_f32_robust_at_range(rng):
+    """The reference's uncentered window solve ((sum v v^T) n = sum v,
+    geometry.py:240-295) loses the plane at range in f32: covariance entries
+    scale with range^2 and the cancellation noise rivals the curvature
+    signal (measured: 47 deg median normal error on a plane 100 m out).
+    compute_normal_map_centered subtracts the window mean before the outer
+    products and stays exact; both agree near the origin."""
+    h, w = 16, 32
+    expected = np.array([-0.2, -0.3, 1.0])
+    expected /= np.linalg.norm(expected)
+    for dist, fns in ((5.0, (geometry.compute_normal_map,
+                             geometry.compute_normal_map_centered)),
+                      (100.0, (geometry.compute_normal_map_centered,))):
+        xs = rng.uniform(dist, dist + 6.0, (h, w)).astype(np.float32)
+        ys = rng.uniform(dist, dist + 6.0, (h, w)).astype(np.float32)
+        zs = (0.2 * xs + 0.3 * ys + 5.0).astype(np.float32)
+        vmap = jnp.asarray(np.stack([xs, ys, zs], axis=-1))
+        for fn in fns:
+            inner = np.asarray(fn(vmap, 5))[3:-3, 3:-3].reshape(-1, 3)
+            cosines = np.abs(inner @ expected)
+            assert (cosines > 0.999).mean() > 0.95, (dist, fn.__name__)
+
+
+def test_centered_normal_fit_masks_invalid_and_null(rng):
+    """Zero (null) vertices neither receive nor contaminate normals."""
+    h, w = 16, 32
+    xs = rng.uniform(4.0, 10.0, (h, w)).astype(np.float32)
+    ys = rng.uniform(4.0, 10.0, (h, w)).astype(np.float32)
+    zs = (0.2 * xs + 0.3 * ys + 5.0).astype(np.float32)
+    vmap = np.stack([xs, ys, zs], axis=-1)
+    vmap[6:9, 10:14] = 0.0  # a null hole
+    nmap = np.asarray(geometry.compute_normal_map_centered(
+        jnp.asarray(vmap), 5))
+    assert np.all(nmap[6:9, 10:14] == 0.0)
+    expected = np.array([-0.2, -0.3, 1.0])
+    expected /= np.linalg.norm(expected)
+    ring = nmap[5:10, 9:15].reshape(-1, 3)
+    ring = ring[np.linalg.norm(ring, axis=1) > 0]
+    cosines = np.abs(ring @ expected)
+    assert (cosines > 0.995).all(), cosines.min()
