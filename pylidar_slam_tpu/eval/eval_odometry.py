@@ -12,7 +12,7 @@ trajectory parity, so the metric definitions match to the digit:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 import yaml
@@ -217,21 +217,24 @@ class OdometryResults:
                 sep=delimiter(), index=False)
 
             tr_err, rot_err, _ = compute_kitti_metrics(absolute_pred, absolute_gt)
+            # ATE/ARE are defined for ANY length; the KITTI segment errors
+            # need >= 100 m of travel and are included only when computable
+            # (short sequences used to get an EMPTY metrics.yaml).
+            ate, std_ate = compute_ate(relative_prediction, relative_ground_truth)
+            are, std_are = compute_are(relative_prediction, relative_ground_truth)
+            self.metrics[sequence_id] = {
+                "ATE": float(ate),
+                "STD_ATE": float(std_ate),
+                "ARE": float(are),
+                "STD_ARE": float(std_are),
+            }
             if tr_err is not None and rot_err is not None:
-                ate, std_ate = compute_ate(relative_prediction, relative_ground_truth)
-                are, std_are = compute_are(relative_prediction, relative_ground_truth)
-                self.metrics[sequence_id] = {
-                    "tr_err": float(tr_err),
-                    "rot_err": float(rot_err),
-                    "ATE": float(ate),
-                    "STD_ATE": float(std_ate),
-                    "ARE": float(are),
-                    "STD_ARE": float(std_are),
-                }
-                if elapsed is not None:
-                    self.metrics[sequence_id]["nsecs_per_frame"] = \
-                        float(elapsed / absolute_gt.shape[0])
-                self.save_metrics()
+                self.metrics[sequence_id]["tr_err"] = float(tr_err)
+                self.metrics[sequence_id]["rot_err"] = float(rot_err)
+            if elapsed is not None:
+                self.metrics[sequence_id]["nsecs_per_frame"] = \
+                    float(elapsed / absolute_gt.shape[0])
+            self.save_metrics()
 
             draw_trajectory_files(
                 [absolute_pred[:, 0, 3], absolute_gt[:, 0, 3]],
@@ -240,16 +243,18 @@ class OdometryResults:
                 labels=["prediction", "GT"])
 
     def _add_mean_metrics(self):
-        avg = {"tr_err": 0.0, "rot_err": 0.0, "ATE": 0.0, "STD_ATE": 0.0,
-               "ARE": 0.0, "STD_ARE": 0.0, "nsecs_per_frame": 0.0}
-        count = 0
+        # Per-key counts: short (< 100 m) sequences carry ATE/ARE but no
+        # KITTI tr_err/rot_err -- averaging each key over the sequences
+        # that actually report it.
+        sums: Dict[str, float] = {}
+        counts: Dict[str, int] = {}
         for seq_id, metrics in self.metrics.items():
             if seq_id != "AVG":
                 for key, value in metrics.items():
-                    avg[key] += value
-                count += 1
-        if count > 0:
-            self.metrics["AVG"] = {k: v / count for k, v in avg.items()}
+                    sums[key] = sums.get(key, 0.0) + value
+                    counts[key] = counts.get(key, 0) + 1
+        if counts:
+            self.metrics["AVG"] = {k: sums[k] / counts[k] for k in sums}
 
     def save_metrics(self, filename: str = "metrics.yaml"):
         with open(str(self.log_dir_path / filename), "w") as f:

@@ -101,3 +101,26 @@ def test_rescale_mode():
     pred_rel[:, 0, 3] = 1.0  # scale-free prediction at half scale
     rescaled = ev.rescale_prediction(pred_rel, gt_rel)
     np.testing.assert_allclose(rescaled[:, 0, 3], 2.0, atol=1e-9)
+
+
+def test_short_sequences_still_report_ate(tmp_path):
+    """Sequences under 100 m carry ATE/ARE in metrics.yaml (the KITTI
+    segment metrics are simply absent); the AVG row averages each key over
+    the sequences that report it."""
+    import yaml
+
+    results = ev.OdometryResults(str(tmp_path))
+    short = _straight_line(30, step=1.0)   # 29 m: no KITTI segments
+    longr = _straight_line(150, step=1.0)  # > 100 m: full metrics
+    rel_short = np.linalg.inv(short[:-1]) @ short[1:]
+    rel_long = np.linalg.inv(longr[:-1]) @ longr[1:]
+    results.add_sequence("short", rel_short, rel_short)
+    results.add_sequence("long", rel_long, rel_long)
+    results.close()
+    m = yaml.safe_load(open(tmp_path / "metrics.yaml"))
+    assert "ATE" in m["short"] and "tr_err" not in m["short"]
+    assert "tr_err" in m["long"]
+    # AVG's tr_err averages only the long sequence's value
+    np.testing.assert_allclose(m["AVG"]["tr_err"], m["long"]["tr_err"])
+    np.testing.assert_allclose(
+        m["AVG"]["ATE"], (m["short"]["ATE"] + m["long"]["ATE"]) / 2)
