@@ -538,8 +538,14 @@ class ICPFrameToModel:
             self._map_state = am.init_agg_map(h, w)
         elif self._mode == "kdtree_local_map":
             from pylidar_slam_tpu.slam.odometry import surfel_map as sm
+            use_hash = str(getattr(self._surfel_cfg, "nn_backend",
+                                   "exact")) == "hash"
             self._map_state = sm.init_surfel_map(
-                k, int(self._surfel_cfg.points_per_frame))
+                k, int(self._surfel_cfg.points_per_frame),
+                hash_buckets=int(self._surfel_cfg.hash_buckets)
+                if use_hash else 0,
+                hash_capacity=int(self._surfel_cfg.hash_capacity)
+                if use_hash else 0)
         elif self._mode == "voxel_local_map":
             from pylidar_slam_tpu.slam.odometry import voxel_map as vm
             self._map_state = vm.init_voxel_map(self._vox_cfg)

@@ -64,26 +64,54 @@ class SurfelRingMapConfig(LocalMapConfig):
     # knn is the default: 0.1155% -> 0.0155% tr_err on the 140-frame
     # fixture (CPU trend, champion settings).
     normals_mode: str = "knn"
+    # Re-express the map into the current frame when the anchor falls this
+    # far behind (meters).  The map lives in the frame of a PAST insert
+    # ("anchor") so that non-insert frames touch no map memory and the
+    # packed NN grid survives across frames; re-anchoring bounds the
+    # anchor-frame coordinates (GN rotation lever arms, f32 hashing).
+    reanchor_dist: float = 20.0
 
 
 LOCAL_MAP.register("kdtree_local_map", object, SurfelRingMapConfig)
 
 
 class SurfelMapState(NamedTuple):
-    points: jnp.ndarray  # (K * S, 3) in the CURRENT frame
+    """Ring map in the ANCHOR frame (the frame of a past insert).
+
+    Keeping the map fixed in an anchor frame instead of re-expressing every
+    point into the current frame each step (the round-4 design) removes the
+    two dominant per-frame costs of the surfel path: the K*S-point map
+    transform on every non-insert frame and the per-register hash-grid
+    build -- the packed grid (table_pts/table_ids, ops/hash_nn.py::
+    pack_grid) is built once per insert and carried here, valid for every
+    subsequent registration until the map changes.  `anchor_from_cur` maps
+    the latest processed frame into the anchor frame; a re-anchor (rare,
+    see SurfelRingMapConfig.reanchor_dist) re-expresses the map when the
+    trajectory moves too far from the anchor.
+    """
+    points: jnp.ndarray  # (K * S, 3) in the ANCHOR frame
     normals: jnp.ndarray  # (K * S, 3)
     valid: jnp.ndarray  # (K * S,)
     write_slot: jnp.ndarray  # () int32 ring slot for next insert
-    anchor_from_cur: jnp.ndarray  # kept for API symmetry: identity here
+    anchor_from_cur: jnp.ndarray  # (4, 4) current frame -> anchor frame
+    table_pts: jnp.ndarray  # (n_buckets * cap, 3) packed grid coordinates
+    table_ids: jnp.ndarray  # (n_buckets, cap) packed grid point ids
 
 
-def init_surfel_map(k: int, s: int, dtype=jnp.float32) -> SurfelMapState:
+def init_surfel_map(k: int, s: int, dtype=jnp.float32,
+                    hash_buckets: int = 0,
+                    hash_capacity: int = 0) -> SurfelMapState:
+    """hash_buckets/hash_capacity size the carried packed NN grid; pass 0
+    for the exact (brute-force) backend, which carries empty tables."""
+    nb, cap = int(hash_buckets), int(hash_capacity)
     return SurfelMapState(
         points=jnp.zeros((k * s, 3), dtype),
         normals=jnp.zeros((k * s, 3), dtype),
         valid=jnp.zeros((k * s,), bool),
         write_slot=jnp.zeros((), jnp.int32),
-        anchor_from_cur=jnp.eye(4, dtype=dtype))
+        anchor_from_cur=jnp.eye(4, dtype=dtype),
+        table_pts=jnp.zeros((nb * cap, 3), dtype),
+        table_ids=jnp.full((nb, max(cap, 0)), -1, jnp.int32))
 
 
 def _grid_sample_fixed(points: jnp.ndarray, mask: jnp.ndarray,
@@ -165,21 +193,26 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
         mask = mask & (jnp.max(jnp.abs(points), axis=-1) > 0)
         return points, mask
 
+    def _build_grid(points, valid):
+        """Bucket-grid build + dense packing (ops/hash_nn.py): one V-point
+        sort + scatter; the packed rows make each NN probe gather 8
+        contiguous bucket rows per query instead of 8*cap scattered point
+        rows.  Runs once per INSERT (the map is anchored and static in
+        between); the result is carried in the state and reused by every
+        registration until the next insert."""
+        from pylidar_slam_tpu.ops.hash_nn import build_hash_grid, pack_grid
+        return pack_grid(points,
+                         build_hash_grid(points, valid, hash_voxel,
+                                         hash_buckets, hash_cap), hash_cap)
+
     def _register_impl(state: SurfelMapState, targets: jnp.ndarray,
                        t_valid: jnp.ndarray, t_init: jnp.ndarray,
                        axis_name=None):
+        """Solves ta = anchor_from_new; targets arrive in the NEW frame and
+        t_init is the anchor-frame initialization."""
         if use_hash:
-            # The map is static for the whole registration; one bucket-grid
-            # build (a V-point sort + scatter) serves every NN pass, and the
-            # grid is packed into dense per-bucket coordinate rows so each
-            # probe gathers 8 contiguous bucket rows per query instead of
-            # 8*cap scattered point rows (the dominant surfel-step cost).
-            from pylidar_slam_tpu.ops.hash_nn import (build_hash_grid,
-                                                      hash_grid_nn, pack_grid)
-            slots = pack_grid(
-                state.points,
-                build_hash_grid(state.points, state.valid, hash_voxel,
-                                hash_buckets, hash_cap), hash_cap)
+            from pylidar_slam_tpu.ops.hash_nn import hash_grid_nn
+            slots = (state.table_pts, state.table_ids)
 
         def body(carry):
             t, ref, nrm, t_assoc, _, it, _, _ = carry
@@ -286,14 +319,13 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
             check_rep=False)
 
     def insert(state: SurfelMapState, points: jnp.ndarray, mask: jnp.ndarray,
-               rpose: jnp.ndarray) -> SurfelMapState:
-        """Re-expresses the map in the new frame and writes the new frame's
-        S grid-sampled surfels into the ring slot (dynamic-slice, no scatter)."""
-        inv = se3.inverse_pose_matrix(rpose[None])[0]
-        moved = se3.apply_transformation(state.points[None], inv[None])[0]
-        moved_nrm = se3.apply_rotation(state.normals[None], inv[None])[0]
-
+               ta: jnp.ndarray) -> SurfelMapState:
+        """Writes the new frame's S grid-sampled surfels into the ring slot,
+        expressed in the ANCHOR frame (`ta` = anchor_from_new).  The rest of
+        the map is untouched -- no K*S-point transform -- and the packed NN
+        grid is rebuilt once here (dynamic-slice ring write, no scatter)."""
         # Scan surfels: grid-sample winner pixels of the rasterized scan
+        # (both in the scan's own frame).
         idx_img, hit = _rasterize_idx(points, mask)
         vmap = jnp.where(hit[:, None], jnp.take(points, idx_img, axis=0),
                         0.0).reshape(proj.height, proj.width, 3)
@@ -301,40 +333,49 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
         pix_valid = jnp.max(jnp.abs(vpix), axis=-1) > 0
         sel_pts, sel_idx, sel_valid = _grid_sample_fixed(
             vpix, pix_valid, float(map_cfg.sample_voxel_size), s)
+        sel_a = se3.apply_transformation(sel_pts[None], ta[None])[0]
+        sel_a = jnp.where(sel_valid[:, None], sel_a, 0.0)
 
         slot = state.write_slot
         start = slot * s
         zero = jnp.zeros((), start.dtype)
-        new_points = jax.lax.dynamic_update_slice(moved, sel_pts, (start, zero))
+        new_points = jax.lax.dynamic_update_slice(state.points, sel_a,
+                                                  (start, zero))
         pre_valid = jax.lax.dynamic_update_slice(state.valid, sel_valid,
                                                  (start,))
 
+        grid = _build_grid(new_points, pre_valid) if use_hash else None
         if str(map_cfg.normals_mode) == "knn":
             # Cross-frame normals: plane fit over the num_neighbors_normals
             # nearest points of the accumulated map (incl. the new frame,
-            # written above) -- the reference's lazy kd-tree normals.
-            from pylidar_slam_tpu.ops.hash_nn import (build_hash_grid,
-                                                      hash_grid_knn,
-                                                      pack_grid)
-            grid = pack_grid(
-                new_points,
-                build_hash_grid(new_points, pre_valid, hash_voxel,
-                                hash_buckets, hash_cap), hash_cap)
+            # written above) -- the reference's lazy kd-tree normals.  The
+            # grid is built before the normal-validity gate below, so a
+            # normal-degenerate new point can shadow a slightly farther
+            # valid candidate in later NN probes; registration rejects such
+            # pairs through its |normal| > 0 gate.
+            from pylidar_slam_tpu.ops.hash_nn import hash_grid_knn
+            knn_grid = grid if use_hash \
+                else _build_grid(new_points, pre_valid)
             idxk, sqk = hash_grid_knn(
-                sel_pts, new_points, grid, hash_voxel, hash_buckets, hash_cap,
-                max_nd, int(map_cfg.num_neighbors_normals))
+                sel_a, new_points, knn_grid, hash_voxel, hash_buckets,
+                hash_cap, max_nd, int(map_cfg.num_neighbors_normals))
             nb = jnp.take(new_points, idxk, axis=0)
             sel_nrm = geometry.knn_plane_normals(nb, jnp.isfinite(sqk))
         else:
             nmap = geometry.compute_normal_map(vmap, nks)
             sel_nrm = jnp.take(nmap.reshape(-1, 3), sel_idx, axis=0)
+            sel_nrm = se3.apply_rotation(sel_nrm[None], ta[None])[0]
         sel_valid = sel_valid & (jnp.max(jnp.abs(sel_nrm), axis=-1) > 0)
 
-        new_normals = jax.lax.dynamic_update_slice(moved_nrm, sel_nrm,
+        new_normals = jax.lax.dynamic_update_slice(state.normals, sel_nrm,
                                                    (start, zero))
         new_valid = jax.lax.dynamic_update_slice(state.valid, sel_valid, (start,))
-        return state._replace(points=new_points, normals=new_normals,
-                              valid=new_valid, write_slot=(slot + 1) % k)
+        state = state._replace(points=new_points, normals=new_normals,
+                               valid=new_valid, write_slot=(slot + 1) % k,
+                               anchor_from_cur=ta)
+        if use_hash:
+            state = state._replace(table_pts=grid[0], table_ids=grid[1])
+        return state
 
     def _rasterize_idx(points, mask):
         from pylidar_slam_tpu.slam.odometry.aggregated_map import rasterize_encoded
@@ -346,7 +387,12 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
         targets, _, t_valid = _grid_sample_fixed(
             points, mask, float(map_cfg.target_voxel_size), m_targets)
 
-        t_final, it, loss, matches = register(state, targets, t_valid, init_rpose)
+        # Registration runs in the anchor frame; init/result convert
+        # through anchor_from_cur (cur = the previous frame).
+        ta_init = state.anchor_from_cur @ init_rpose
+        ta, it, loss, matches = register(state, targets, t_valid, ta_init)
+        inv_anchor = se3.inverse_pose_matrix(state.anchor_from_cur[None])[0]
+        t_final = se3.normalize_pose_matrix((inv_anchor @ ta)[None])[0]
 
         new_delta = delta_since_update @ t_final
         d_params = se3.from_pose_matrix(new_delta[None])[0]
@@ -354,15 +400,32 @@ def make_surfel_icp_frame_step(proj: projection.SphericalProjection,
             (jnp.linalg.norm(d_params[3:]) * 180.0 / math.pi > threshold_rot)
 
         def insert_branch(st):
-            return insert(st, points, mask, t_final)
+            return insert(st, points, mask, ta)
 
         def shift_branch(st):
-            inv = se3.inverse_pose_matrix(t_final[None])[0]
-            moved = se3.apply_transformation(st.points[None], inv[None])[0]
-            moved_nrm = se3.apply_rotation(st.normals[None], inv[None])[0]
-            return st._replace(points=moved, normals=moved_nrm)
+            # Non-insert frames touch NO map memory: the anchor design's
+            # whole point (the round-4 code re-expressed all K*S points +
+            # normals here every frame).
+            return st._replace(anchor_from_cur=ta)
 
         state = jax.lax.cond(do_insert, insert_branch, shift_branch, state)
+
+        def reanchor_branch(st):
+            inv_a = se3.inverse_pose_matrix(st.anchor_from_cur[None])[0]
+            pts = se3.apply_transformation(st.points[None], inv_a[None])[0]
+            pts = jnp.where(st.valid[:, None], pts, 0.0)
+            nrm = se3.apply_rotation(st.normals[None], inv_a[None])[0]
+            st = st._replace(points=pts, normals=nrm,
+                             anchor_from_cur=jnp.eye(4, dtype=pts.dtype))
+            if use_hash:
+                tp, ti = _build_grid(pts, st.valid)
+                st = st._replace(table_pts=tp, table_ids=ti)
+            return st
+
+        far = jnp.linalg.norm(state.anchor_from_cur[:3, 3]) > \
+            float(getattr(map_cfg, "reanchor_dist", 20.0))
+        state = jax.lax.cond(far, reanchor_branch, lambda st: st, state)
+
         delta_out = jnp.where(do_insert, jnp.eye(4, dtype=new_delta.dtype),
                               new_delta)
         pose_params = se3.from_pose_matrix(t_final[None])[0]

@@ -60,6 +60,11 @@ def main():
         max_num_alignments=int(os.environ.get("SF_ITERS", "10")),
         reassoc_every=int(os.environ.get("SF_REASSOC", "100")),
         reassoc_motion_m=float(os.environ.get("SF_REASSOC_MOTION", "0.2")),
+        # Insert spacing: thresholds > per-frame motion space the ring
+        # inserts out, and the anchored map makes non-insert frames nearly
+        # free (no grid rebuild / knn normals / map transform).
+        threshold_trans=float(os.environ.get("SF_THRESH_TRANS", "0.1")),
+        threshold_rot=float(os.environ.get("SF_THRESH_ROT", "0.3")),
         local_map=local_map if local_map is not None else
         {"type": "kdtree_local_map",
                    "local_map_size": int(os.environ.get("SF_MAP", "30")),
@@ -68,7 +73,8 @@ def main():
                    "target_samples": int(os.environ.get("SF_TGT", "16384")),
                    "levenberg_damping": 0.0,
                    "normals_mode": os.environ.get("SF_NORMALS", "knn"),
-                   "nn_backend": os.environ.get("SF_NN", "hash")},
+                   "nn_backend": os.environ.get("SF_NN", "hash"),
+                   "reanchor_dist": float(os.environ.get("SF_REANCHOR", "20"))},
         alignment={"gauss_newton_config": {"scheme": "neighborhood",
                                            "sigma": 0.2, "max_iters": 1}},
         num_points_padded=cap, data_key="numpy_pc",
